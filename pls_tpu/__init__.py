@@ -1,0 +1,105 @@
+"""pls-tpu: a TPU-native Partial Least Squares regression framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+C++/Eigen library tjhladish/PLS (surveyed in SURVEY.md):
+
+- Dayal–MacGregor "improved kernel" PLS algorithms 1 and 2
+  (reference: /root/reference/src/pls.cpp:387-437), plus NIPALS and SIMPLS
+  variants the reference does not have.
+- Multi-response Y, scores/weights/loadings/coefficients extraction,
+  prediction and explained-variance diagnostics
+  (reference: /root/reference/src/pls.cpp:439-467).
+- The full validation stack: leave-one-out, leave-some-out (Monte-Carlo) and
+  new-data cross-validation with PRESS/MSE/RMSE summaries and Wilcoxon-based
+  optimal-component selection (reference: /root/reference/src/pls.cpp:229-305,
+  469-549).
+- A CLI mirroring the reference executable's argv contract
+  (reference: /root/reference/src/main.cpp:10-44).
+
+The design is TPU-idiomatic rather than a translation: fits are pure
+functions compiled with `jax.jit`, the per-component deflation loop is a
+`lax.scan` (with an optional fused Pallas kernel for the hot X-streaming
+pass), cross-validation folds are a vmapped batch axis, and large designs
+are row-sharded across a `jax.sharding.Mesh` with XLA collectives.
+"""
+
+from pls_tpu.types import (
+    METHOD,
+    KERNEL_TYPE1,
+    KERNEL_TYPE2,
+    NIPALS,
+    SIMPLS,
+    VALIDATION_OUTPUT,
+    RESS,
+    MSE,
+    PLSFit,
+    Residual,
+)
+from pls_tpu.ops.stats import (
+    sst,
+    colwise_stdev,
+    z_scores,
+    colwise_z_scores,
+)
+from pls_tpu.ops.special import normalcdf
+from pls_tpu.ops.wilcoxon import wilcoxon
+from pls_tpu.models.kernel_pls import fit
+from pls_tpu.models.predict import (
+    scores,
+    loadings_x,
+    loadings_y,
+    coefficients,
+    fitted_values,
+    residuals,
+    sse,
+    explained_variance,
+)
+from pls_tpu.cv.validation import (
+    validation,
+    optimal_num_components,
+    print_validation,
+)
+from pls_tpu.cv.loo import cv_loo
+from pls_tpu.cv.lso import cv_lso
+from pls_tpu.cv.newdata import cv_new_data
+from pls_tpu.model import PLSModel
+from pls_tpu.utils.io import read_matrix_file
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "METHOD",
+    "KERNEL_TYPE1",
+    "KERNEL_TYPE2",
+    "NIPALS",
+    "SIMPLS",
+    "VALIDATION_OUTPUT",
+    "RESS",
+    "MSE",
+    "PLSFit",
+    "Residual",
+    "sst",
+    "colwise_stdev",
+    "z_scores",
+    "colwise_z_scores",
+    "normalcdf",
+    "wilcoxon",
+    "fit",
+    "scores",
+    "loadings_x",
+    "loadings_y",
+    "coefficients",
+    "fitted_values",
+    "residuals",
+    "sse",
+    "explained_variance",
+    "validation",
+    "optimal_num_components",
+    "print_validation",
+    "cv_loo",
+    "cv_lso",
+    "cv_new_data",
+    "PLSModel",
+    "read_matrix_file",
+    "__version__",
+]

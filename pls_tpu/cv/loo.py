@@ -1,0 +1,101 @@
+"""Leave-one-out cross-validation, batched.
+
+Reference analogue: `Model::cv_LOO` (/root/reference/src/pls.cpp:469-491)
+— N *sequential* from-scratch refits (each wastefully computing K
+components; SURVEY.md §3.3).  Here folds are a pure batch axis:
+
+- `cv_loo` (all methods): fold i fits with row i's mask zeroed.  Because
+  every use of X/Y in the kernel algorithms is a masked reduction, a
+  masked fit is arithmetically identical to fitting on the N−1 surviving
+  rows, so folds vmap.  `jax.lax.map(..., batch_size=...)` chunks the vmap
+  to bound memory; chunks can additionally be sharded over a mesh 'folds'
+  axis (parallel/sharded.py).
+- `cv_loo_downdate` (KERNEL_TYPE2): computes XX = XᵀX and XY = XᵀY once,
+  then per fold applies exact rank-1 downdates XXᵢ = XX − xᵢxᵢᵀ,
+  XYᵢ = XY − xᵢyᵢᵀ and refits from the statistics — O(K²) per fold
+  instead of O(N·K²), the scalable path for the 1000-fold-on-1M×10k
+  north-star workload.
+
+Both record, per fold, the held-out residual under every component
+truncation 1..A (one matmul + cumsum via residuals_all_components), into
+the same (M, N, A) layout as the reference's error tensor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pls_tpu.models.kernel_pls import fit, fit_from_stats
+from pls_tpu.utils.batching import padded_map
+from pls_tpu.models.predict import residuals_all_components
+from pls_tpu.types import METHOD, Residual
+
+
+def cv_loo(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    batch_size: int | None = None,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> Residual:
+    """LOO CV by vmapped masked refits. Returns Residual with errors (M, N, A)."""
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N = X.shape[0]
+    if batch_size is None:
+        batch_size = min(N, 64)
+
+    def fold(i):
+        mask = (jnp.arange(N) != i).astype(X.dtype)
+        f = fit(
+            X, Y, A, method,
+            row_mask=mask, power_iters=power_iters, precision=precision,
+        )
+        res = residuals_all_components(f, X[i][None, :], Y[i][None, :])  # (1, A, M)
+        return res[0]  # (A, M)
+
+    errs = padded_map(fold, jnp.arange(N), batch_size)  # (N, A, M)
+    return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="LOO")
+
+
+def cv_loo_downdate(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    *,
+    batch_size: int | None = None,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> Residual:
+    """LOO CV via exact rank-1 downdates of XᵀX / XᵀY (KERNEL_TYPE2 only).
+
+    Exactness vs. brute-force refits is validated in tests/test_cv.py.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N = X.shape[0]
+    if batch_size is None:
+        batch_size = min(N, 64)
+
+    XX = X.T @ X
+    XY = X.T @ Y
+
+    def fold(i):
+        x = X[i]
+        y = Y[i]
+        XXi = XX - jnp.outer(x, x)
+        XYi = XY - jnp.outer(x, y)
+        f = fit_from_stats(XXi, XYi, A, power_iters=power_iters, precision=precision)
+        res = residuals_all_components(f, x[None, :], y[None, :])
+        return res[0]  # (A, M)
+
+    errs = padded_map(fold, jnp.arange(N), batch_size)
+    return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="LOO")

@@ -1,0 +1,253 @@
+"""High-level PLS model object mirroring the reference's `PLS::Model` API.
+
+Reference analogue: `struct PLS::Model` (/root/reference/include/PLS/pls.h:184-266).
+Where the reference couples data, fit state and CV methods in one mutable
+object refit in place, this wrapper is a thin stateful façade over the
+pure functional core (models/, cv/) — construction performs one jitted
+fit; every method delegates to pure functions that could equally be used
+directly under jit/vmap/pjit.
+
+API mapping (reference → here):
+  Model(X, Y, algorithm, max_components)  → PLSModel(X, Y, method, max_components)
+  scores/coefficients/fitted_values/residuals/SSE/explained_variance(…, comp)
+                                          → same names, `comp` optional
+  loadingsX/loadingsY (declared but never defined in the reference —
+    pls.h:207-211)                        → implemented for real
+  cv_LOO / cv_NEW_DATA / cv_LSO           → same names; cv_LSO accepts a
+    GccRng (bit-exact reference partitions), a jax PRNG key, or an int seed
+  print_state / print_explained_variance  → same stderr tables
+plus checkpointing (save/load), which the reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pls_tpu.cv.loo import cv_loo, cv_loo_downdate
+from pls_tpu.cv.lso import cv_lso, lso_sizes
+from pls_tpu.cv.newdata import cv_new_data
+from pls_tpu.models import predict as _predict
+from pls_tpu.models.kernel_pls import fit as _fit
+from pls_tpu.types import METHOD, PLSFit, Residual
+from pls_tpu.utils.gcc_rng import GccRng
+
+
+class PLSModel:
+    def __init__(
+        self,
+        X,
+        Y,
+        method: METHOD = METHOD.KERNEL_TYPE1,
+        max_components: int | None = None,
+        *,
+        dtype=None,
+        power_iters: int | None = None,
+        precision: str | None = "highest",
+        _fit_state: PLSFit | None = None,
+    ):
+        X = jnp.asarray(X, dtype=dtype)
+        Y = jnp.asarray(Y, dtype=dtype)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        if X.shape[0] == 0:
+            raise ValueError("X has no rows")  # reference assert pls.cpp:346
+        if X.shape[0] != Y.shape[0]:
+            raise ValueError(  # reference assert pls.cpp:347
+                f"X has {X.shape[0]} rows but Y has {Y.shape[0]}"
+            )
+        A = X.shape[1] if max_components is None else int(max_components)
+        if not (0 < A <= X.shape[1]):
+            raise ValueError(  # reference assert pls.cpp:345
+                f"max_components={A} must be in (0, {X.shape[1]}]"
+            )
+        self._X = X
+        self._Y = Y
+        self._method = method
+        self._power_iters = power_iters
+        self._precision = precision
+        self._fit = (
+            _fit(X, Y, A, method, power_iters=power_iters, precision=precision)
+            if _fit_state is None
+            else _fit_state
+        )
+
+    # ---------- state accessors ----------
+    @property
+    def X(self) -> jnp.ndarray:
+        return self._X
+
+    @property
+    def Y(self) -> jnp.ndarray:
+        return self._Y
+
+    @property
+    def A(self) -> int:
+        return self._fit.A
+
+    @property
+    def method(self) -> METHOD:
+        return self._method
+
+    @property
+    def fit_state(self) -> PLSFit:
+        return self._fit
+
+    @property
+    def W(self) -> jnp.ndarray:
+        return self._fit.W
+
+    @property
+    def P(self) -> jnp.ndarray:
+        return self._fit.P
+
+    @property
+    def Q(self) -> jnp.ndarray:
+        return self._fit.Q
+
+    @property
+    def R(self) -> jnp.ndarray:
+        return self._fit.R
+
+    @property
+    def T(self) -> jnp.ndarray:
+        return self._fit.T
+
+    # ---------- prediction / diagnostics ----------
+    def scores(self, X_new=None, comp: int | None = None) -> jnp.ndarray:
+        X_new = self._X if X_new is None else jnp.asarray(X_new)
+        return _predict.scores(self._fit, X_new, comp)
+
+    def loadingsX(self, comp: int | None = None) -> jnp.ndarray:
+        return _predict.loadings_x(self._fit, comp)
+
+    def loadingsY(self, comp: int | None = None) -> jnp.ndarray:
+        return _predict.loadings_y(self._fit, comp)
+
+    def coefficients(self, comp: int | None = None) -> jnp.ndarray:
+        return _predict.coefficients(self._fit, comp)
+
+    def fitted_values(self, X_new=None, comp: int | None = None) -> jnp.ndarray:
+        X_new = self._X if X_new is None else jnp.asarray(X_new)
+        return _predict.fitted_values(self._fit, X_new, comp)
+
+    def residuals(self, X_new=None, Y_new=None, comp: int | None = None) -> jnp.ndarray:
+        X_new = self._X if X_new is None else jnp.asarray(X_new)
+        Y_new = self._Y if Y_new is None else jnp.atleast_2d(jnp.asarray(Y_new))
+        return _predict.residuals(self._fit, X_new, Y_new, comp)
+
+    def SSE(self, X_new=None, Y_new=None, comp: int | None = None) -> jnp.ndarray:
+        X_new = self._X if X_new is None else jnp.asarray(X_new)
+        Y_new = self._Y if Y_new is None else jnp.atleast_2d(jnp.asarray(Y_new))
+        return _predict.sse(self._fit, X_new, Y_new, comp)
+
+    def explained_variance(
+        self, X_new=None, Y_new=None, comp: int | None = None
+    ) -> jnp.ndarray:
+        X_new = self._X if X_new is None else jnp.asarray(X_new)
+        Y_new = self._Y if Y_new is None else jnp.atleast_2d(jnp.asarray(Y_new))
+        return _predict.explained_variance(self._fit, X_new, Y_new, comp)
+
+    # ---------- cross-validation ----------
+    def cv_LOO(self, *, batch_size: int | None = None, downdate: bool = False) -> Residual:
+        if downdate:
+            return cv_loo_downdate(
+                self._X, self._Y, self.A,
+                batch_size=batch_size,
+                power_iters=self._power_iters, precision=self._precision,
+            )
+        return cv_loo(
+            self._X, self._Y, self.A, self._method,
+            batch_size=batch_size,
+            power_iters=self._power_iters, precision=self._precision,
+        )
+
+    def cv_NEW_DATA(self, X_new, Y_new) -> Residual:
+        return cv_new_data(self._fit, X_new, Y_new)
+
+    def cv_LSO(
+        self,
+        test_fraction: float,
+        num_trials: int,
+        rng=None,
+        *,
+        batch_size: int | None = None,
+    ) -> Residual:
+        """Monte-Carlo CV.  `rng` may be a GccRng (bit-exact reference
+        partitions; stateful across calls like the reference's
+        `std::mt19937&` argument), a jax PRNG key, or an int jax seed."""
+        N = self._X.shape[0]
+        partitions = key = None
+        if isinstance(rng, GccRng):
+            partitions = rng.lso_partitions(N, num_trials)
+        elif isinstance(rng, int):
+            key = jax.random.key(rng)
+        elif rng is not None:
+            key = rng
+        else:
+            key = jax.random.key(0)
+        return cv_lso(
+            self._X, self._Y, self.A, test_fraction, num_trials, self._method,
+            key=key, partitions=partitions, batch_size=batch_size,
+            power_iters=self._power_iters, precision=self._precision,
+        )
+
+    # ---------- reports (reference pls.cpp:551-580) ----------
+    def print_explained_variance(self, X=None, Y=None, file=None) -> None:
+        from pls_tpu.utils.reporting import format_eigen
+
+        file = sys.stderr if file is None else file
+        X = self._X if X is None else jnp.asarray(X)
+        Y = self._Y if Y is None else jnp.atleast_2d(jnp.asarray(Y))
+        wd = max(1, int(np.ceil(np.log10(max(self.A, 2)))))
+        for ncomp in range(1, self.A + 1):
+            ev = format_eigen(np.asarray(self.explained_variance(X, Y, ncomp)))
+            ss = format_eigen(np.asarray(self.SSE(X, Y, ncomp)))
+            print(
+                f"{ncomp:>{wd}} components explained variance: {ev}  - SSE: {ss}",
+                file=file,
+            )
+
+    def print_state(self, file=None) -> None:
+        from pls_tpu.utils.reporting import format_eigen
+
+        file = sys.stderr if file is None else file
+        for label, mat in [
+            ("P", self.P), ("W", self.W), ("R", self.R), ("Q", self.Q),
+            ("T", self.T), ("coefficients", self.coefficients()),
+        ]:
+            print(f"{label}:", file=file)
+            if mat.size:
+                print(format_eigen(np.asarray(mat)), file=file)
+            else:
+                print("", file=file, end="")
+
+    # ---------- checkpointing (absent in the reference; SURVEY.md §5) ----------
+    def save(self, path: str) -> None:
+        """Serialize fit state + preprocessing-free data refs to .npz."""
+        f = self._fit
+        np.savez(
+            path,
+            W=np.asarray(f.W), P=np.asarray(f.P), Q=np.asarray(f.Q),
+            R=np.asarray(f.R), T=np.asarray(f.T),
+            X=np.asarray(self._X), Y=np.asarray(self._Y),
+            meta=json.dumps({"method": self._method.value, "A": f.A}),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PLSModel":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        fit_state = PLSFit(
+            W=jnp.asarray(z["W"]), P=jnp.asarray(z["P"]), Q=jnp.asarray(z["Q"]),
+            R=jnp.asarray(z["R"]), T=jnp.asarray(z["T"]),
+            method=METHOD(meta["method"]),
+        )
+        return cls(
+            z["X"], z["Y"], METHOD(meta["method"]), meta["A"],
+            _fit_state=fit_state,
+        )

@@ -1,0 +1,233 @@
+"""Dayal–MacGregor "improved kernel" PLS, TPU-native.
+
+Reference analogue: `Model::plsr` (/root/reference/src/pls.cpp:390-437),
+implementing Dayal & MacGregor (1997) "Improved PLS Algorithms",
+J. Chemometrics 11:73-85, kernel algorithms #1 and #2.  Only the K×M
+cross-product XY = XᵀY is deflated per component; X itself is never
+deflated (this is NOT classical NIPALS).
+
+TPU-first design decisions (vs. the reference's mutable in-place loop):
+- The per-component loop is a `jax.lax.scan` with carry (XY, P-buffer,
+  R-buffer): static shapes, single compiled program, fully fusable by XLA.
+- The Gram–Schmidt correction  r = w − Σ_{j<a} (pⱼᵀw) rⱼ  is computed as
+  two dense matmuls against zero-initialized (A, K) buffers — zero rows
+  beyond the current component contribute nothing, so no dynamic slicing
+  is needed and the MXU sees fixed-shape GEMMs.
+- The dominant eigenvector of the symmetric PSD XYᵀXY is real by
+  construction (ops/eigen.py), eliminating the reference's complex dtypes.
+- Row masking: CV folds zero out held-out rows of X and Y *before* the
+  cross-products.  Every use of X in the algorithm is a masked reduction,
+  so a masked fit is arithmetically identical to fitting on the surviving
+  subset — this is what makes folds a pure vmap axis.
+- Multi-device: with X and Y row-sharded over a mesh axis, the
+  contractions XᵀY, XᵀX, Xᵀt and tᵀt are partial-per-shard + all-reduce;
+  XLA's SPMD partitioner inserts the psums automatically (see
+  parallel/sharded.py).
+
+Sub-model truncation note (SURVEY.md §3.3): kernel-PLS components are
+computed sequentially, so the first A columns of an A'-component fit
+(A' > A) are identical to an A-component fit.  The reference exploits the
+converse wastefully (CV sub-models refit with A=K); we always fit exactly
+the requested A.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pls_tpu.ops.eigen import dominant_eigenvector
+from pls_tpu.types import METHOD, PLSFit
+
+
+def fit(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int | None = None,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    row_mask: jnp.ndarray | None = None,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> PLSFit:
+    """Fit a PLS model of up to `A` components.
+
+    Args:
+      X: (N, K) predictors (pre-centered/z-scored by the caller, as in the
+         reference CLI — /root/reference/src/main.cpp:24-25).
+      Y: (N, M) responses.
+      A: number of components; defaults to K, matching the reference's
+         default-constructor behavior (/root/reference/src/pls.cpp:359).
+      method: KERNEL_TYPE1 | KERNEL_TYPE2 | NIPALS | SIMPLS.
+      row_mask: optional (N,) {0,1} mask; masked-out rows are excluded from
+         the fit exactly (used by the vmapped cross-validators).
+      power_iters: if set, use fixed-iteration power method instead of eigh
+         for the M>1 dominant-eigenvector step.
+      precision: jax matmul precision context ("highest" for f32 parity /
+         CPU; None to use the session default, e.g. bf16-on-MXU for speed).
+
+    Returns: PLSFit pytree (W, P, Q, R, T, method).
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N, K = X.shape
+    if A is None:
+        A = K
+    if not (0 < A <= K):
+        raise ValueError(f"A={A} must satisfy 0 < A <= K={K}")
+    if X.shape[0] != Y.shape[0]:
+        raise ValueError(f"X has {X.shape[0]} rows but Y has {Y.shape[0]}")
+
+    if row_mask is not None:
+        m = row_mask.astype(X.dtype)[:, None]
+        X = X * m
+        Y = Y * m
+
+    if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
+        return _fit_kernel(
+            X, Y, A, type1=(method == METHOD.KERNEL_TYPE1),
+            power_iters=power_iters, precision=precision,
+        )
+    if method == METHOD.NIPALS:
+        from pls_tpu.models.nipals import fit_nipals
+
+        return fit_nipals(X, Y, A, precision=precision)
+    if method == METHOD.SIMPLS:
+        from pls_tpu.models.simpls import fit_simpls
+
+        return fit_simpls(X, Y, A, power_iters=power_iters, precision=precision)
+    raise ValueError(f"unknown method {method}")
+
+
+def _prec_ctx(precision: str | None):
+    if precision is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
+
+
+@partial(jax.jit, static_argnames=("A", "type1", "power_iters", "precision"))
+def _fit_kernel(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    type1: bool,
+    power_iters: int | None,
+    precision: str | None,
+) -> PLSFit:
+    """Kernel algorithms #1/#2 as a scan over components.
+
+    Per-component math mirrors /root/reference/src/pls.cpp:400-435:
+      M==1:  w = XY                     else: q₀ = dom.eigvec(XYᵀXY), w = XY q₀
+      w /= ‖w‖ ;  r = w − Σ_{j<a}(pⱼᵀw) rⱼ
+      type1: t = X r, tt = tᵀt, p = Xᵀt      type2: tt = rᵀ XX r, p = XX r
+      p /= tt ;  q = XYᵀ r / tt ;  XY ← XY − (p qᵀ) tt
+    """
+    N, K = X.shape
+    M = Y.shape[1]
+    dtype = X.dtype
+
+    with _prec_ctx(precision):
+        XY0 = X.T @ Y
+        XX = None if type1 else X.T @ X
+
+        def step(carry, a):
+            XY, Pb, Rb = carry
+            if M == 1:
+                w = XY[:, 0]
+            else:
+                C = XY.T @ XY
+                q0 = dominant_eigenvector(C, power_iters)
+                w = XY @ q0
+            w = w / jnp.sqrt(w @ w)
+            # Gram-Schmidt vs previous loadings; rows >= a of Pb/Rb are zero
+            r = w - Rb.T @ (Pb @ w)
+            if type1:
+                t = X @ r
+                tt = t @ t
+                p = X.T @ t
+            else:
+                v = XX @ r
+                tt = r @ v
+                p = v
+                t = jnp.zeros((0,), dtype)
+            p = p / tt
+            q = (XY.T @ r) / tt
+            XY = XY - jnp.outer(p, q) * tt
+            Pb = Pb.at[a].set(p)
+            Rb = Rb.at[a].set(r)
+            return (XY, Pb, Rb), (w, q, t)
+
+        zbuf = jnp.zeros((A, K), dtype)
+        (XYf, Pb, Rb), (Ws, Qs, Ts) = jax.lax.scan(
+            step, (XY0, zbuf, zbuf), jnp.arange(A)
+        )
+
+    return PLSFit(
+        W=Ws.T,
+        P=Pb.T,
+        Q=Qs.T,
+        R=Rb.T,
+        T=Ts.T if type1 else jnp.zeros((0, A), dtype),
+        method=METHOD.KERNEL_TYPE1 if type1 else METHOD.KERNEL_TYPE2,
+    )
+
+
+@partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
+def fit_from_stats(
+    XX: jnp.ndarray,
+    XY: jnp.ndarray,
+    A: int,
+    *,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> PLSFit:
+    """Kernel algorithm #2 fit from precomputed cross-products XX = XᵀX
+    (K, K) and XY = XᵀY (K, M).
+
+    This is the scalable path for huge N: XX/XY are one streaming pass over
+    the (possibly sharded) data, and the component loop never touches X.
+    It is also the basis of the O(K²)-per-fold rank-1 LOO downdate
+    (cv/loo.py): XXᵢ = XX − xᵢxᵢᵀ, XYᵢ = XY − xᵢyᵢᵀ.
+    """
+    K = XX.shape[0]
+    M = XY.shape[1]
+    dtype = XX.dtype
+
+    with _prec_ctx(precision):
+
+        def step(carry, a):
+            XYc, Pb, Rb = carry
+            if M == 1:
+                w = XYc[:, 0]
+            else:
+                C = XYc.T @ XYc
+                q0 = dominant_eigenvector(C, power_iters)
+                w = XYc @ q0
+            w = w / jnp.sqrt(w @ w)
+            r = w - Rb.T @ (Pb @ w)
+            v = XX @ r
+            tt = r @ v
+            p = v / tt
+            q = (XYc.T @ r) / tt
+            XYc = XYc - jnp.outer(p, q) * tt
+            Pb = Pb.at[a].set(p)
+            Rb = Rb.at[a].set(r)
+            return (XYc, Pb, Rb), (w, q)
+
+        zbuf = jnp.zeros((A, K), dtype)
+        (_, Pb, Rb), (Ws, Qs) = jax.lax.scan(step, (XY, zbuf, zbuf), jnp.arange(A))
+
+    return PLSFit(
+        W=Ws.T,
+        P=Pb.T,
+        Q=Qs.T,
+        R=Rb.T,
+        T=jnp.zeros((0, A), dtype),
+        method=METHOD.KERNEL_TYPE2,
+    )

@@ -1,0 +1,100 @@
+"""Prediction and diagnostics on a fitted PLS model.
+
+Reference analogues — /root/reference/src/pls.cpp:439-467:
+  scores(Xn, c)        = Xn · R[:, :c]
+  coefficients(c)      = R[:, :c] · Q[:, :c]ᵀ
+  fitted_values(Xn, c) = Xn · B(c)
+  residuals(Xn, Yn, c) = Yn − Ŷ
+  SSE                  = colwise squared norm of residuals
+  explained_variance   = 1 − SSE / SST(Yn)
+plus loadings_x / loadings_y, which the reference *declares* but never
+defines (/root/reference/include/PLS/pls.h:207-211 — a link error if
+called; gap closed here).
+
+`residuals_all_components` is the TPU-native workhorse the reference
+lacks: because Ŷ(c) = Σ_{j<c} (Xn rⱼ) qⱼᵀ is a prefix sum over components,
+residuals for *every* truncation 1..A come from one matmul plus a cumsum —
+O(n·A·M) instead of A separate predictions.  All cross-validators are
+built on it.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pls_tpu.ops.stats import sst
+from pls_tpu.types import PLSFit
+
+
+def scores(fit: PLSFit, X_new: jnp.ndarray, comp: int | None = None) -> jnp.ndarray:
+    """Latent-space scores T = Xn · R[:, :comp] (reference pls.cpp:439-442)."""
+    comp = fit.A if comp is None else comp
+    return X_new @ fit.R[:, :comp]
+
+
+def loadings_x(fit: PLSFit, comp: int | None = None) -> jnp.ndarray:
+    """X loadings P[:, :comp] (declared-but-undefined in the reference,
+    pls.h:207-208)."""
+    comp = fit.A if comp is None else comp
+    return fit.P[:, :comp]
+
+
+def loadings_y(fit: PLSFit, comp: int | None = None) -> jnp.ndarray:
+    """Y loadings Q[:, :comp] (declared-but-undefined in the reference,
+    pls.h:210-211)."""
+    comp = fit.A if comp is None else comp
+    return fit.Q[:, :comp]
+
+
+def coefficients(fit: PLSFit, comp: int | None = None) -> jnp.ndarray:
+    """Regression coefficients B = R[:, :c] · Q[:, :c]ᵀ, (K, M)
+    (reference pls.cpp:444-447)."""
+    comp = fit.A if comp is None else comp
+    return fit.R[:, :comp] @ fit.Q[:, :comp].T
+
+
+def fitted_values(
+    fit: PLSFit, X_new: jnp.ndarray, comp: int | None = None
+) -> jnp.ndarray:
+    """Ŷ = Xn · B (reference pls.cpp:449-451)."""
+    return X_new @ coefficients(fit, comp)
+
+
+def residuals(
+    fit: PLSFit, X_new: jnp.ndarray, Y_new: jnp.ndarray, comp: int | None = None
+) -> jnp.ndarray:
+    """Yn − Ŷ (reference pls.cpp:453-455)."""
+    return Y_new - fitted_values(fit, X_new, comp)
+
+
+def residuals_all_components(
+    fit: PLSFit, X_new: jnp.ndarray, Y_new: jnp.ndarray
+) -> jnp.ndarray:
+    """Residuals for every component truncation 1..A in one pass.
+
+    Returns (n, A, M): residual of observation i under the c-component
+    sub-model at [:, c-1, :].  Uses the prefix-sum identity
+    Ŷ(c) = Σ_{j<c} sⱼ qⱼᵀ with s = Xn R.
+    """
+    S = X_new @ fit.R  # (n, A)
+    contrib = S[:, :, None] * fit.Q.T[None, :, :]  # (n, A, M)
+    fitted_cum = jnp.cumsum(contrib, axis=1)  # (n, A, M)
+    return Y_new[:, None, :] - fitted_cum
+
+
+def sse(
+    fit: PLSFit, X_new: jnp.ndarray, Y_new: jnp.ndarray, comp: int | None = None
+) -> jnp.ndarray:
+    """Column-wise sum of squared residuals, (M,) (reference pls.cpp:457-459)."""
+    r = residuals(fit, X_new, Y_new, comp)
+    return jnp.sum(r * r, axis=0)
+
+
+def explained_variance(
+    fit: PLSFit, X_new: jnp.ndarray, Y_new: jnp.ndarray, comp: int | None = None
+) -> jnp.ndarray:
+    """1 − SSE/SST per response, (M,) (reference pls.cpp:461-467).
+
+    SST uses Y_new's own column means, exactly as the reference calls
+    `SST(Y_new)`."""
+    return 1.0 - sse(fit, X_new, Y_new, comp) / sst(Y_new)

@@ -1,0 +1,242 @@
+"""Sharded PLS execution: row-sharded fits and fold-sharded CV.
+
+Two complementary formulations (both validated against the single-device
+fit in tests/test_distributed.py on an 8-virtual-device CPU mesh):
+
+1. `fit_sharded` — GSPMD: the plain functional fit (models/kernel_pls.py)
+   jitted with X/Y carrying NamedSharding(P('rows', None)) and replicated
+   outputs.  XLA's SPMD partitioner turns every over-rows contraction
+   (XᵀY, XᵀX, Xᵀt, tᵀt) into partial-per-shard + all-reduce over ICI.
+   This is the idiomatic production path: zero manual collectives.
+
+2. `fit_rowsharded_shardmap` — explicit shard_map + psum, mirroring the
+   communication schedule in SURVEY.md §2 ("comm point" at XY = XᵀY,
+   pls.cpp:396, and the per-component reductions of §3.2).  Useful for
+   auditing exactly which collectives run, and as the template for the
+   Pallas-fused variant.
+
+`cv_lso_sharded` shards the replicate axis over the 'folds' mesh axis:
+replicates never communicate, so scaling is embarrassing; X/Y are
+replicated (appropriate when X fits per-device; for huge X use
+fit_sharded per fold over 'rows' instead).
+
+`train_step` composes both axes — the "full training step" of this
+framework: a row-sharded fit plus a fold-sharded CV batch in one jitted
+program (exercised by __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pls_tpu.models.kernel_pls import fit
+from pls_tpu.models.predict import residuals_all_components
+from pls_tpu.ops.eigen import dominant_eigenvector
+from pls_tpu.types import METHOD, PLSFit, Residual
+
+
+def fit_sharded(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    mesh: Mesh,
+    precision: str | None = "highest",
+    power_iters: int | None = None,
+) -> PLSFit:
+    """Row-sharded fit via GSPMD; outputs fully replicated."""
+    row_sh = NamedSharding(mesh, P("rows", None))
+    rep = NamedSharding(mesh, P())
+    Xs = jax.device_put(jnp.asarray(X), row_sh)
+    Ys = jax.device_put(jnp.asarray(Y), row_sh)
+
+    @partial(jax.jit, out_shardings=rep)
+    def _fit(Xs, Ys):
+        f = fit(Xs, Ys, A, method, precision=precision, power_iters=power_iters)
+        # T is row-aligned; drop it from the replicated outputs for type1 to
+        # avoid an all-gather of an N-sized matrix (recompute as X·R if needed)
+        return PLSFit(W=f.W, P=f.P, Q=f.Q, R=f.R,
+                      T=jnp.zeros((0, A), Xs.dtype), method=f.method)
+
+    return _fit(Xs, Ys)
+
+
+def fit_rowsharded_shardmap(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    type1: bool = True,
+    *,
+    mesh: Mesh,
+    axis: str = "rows",
+    power_iters: int | None = None,
+) -> PLSFit:
+    """Explicit shard_map/psum formulation of the kernel algorithms.
+
+    Collectives used (all over `axis`):
+      - one all-reduce for XY = XᵀY (and XX = XᵀX for type 2)
+      - type 1 only: per-component all-reduce of [Xᵀt ; tᵀt] (fused into a
+        single psum of a (K+1)-vector to halve latency cost)
+    Type 2's component loop is communication-free — the preferred shape
+    for high-latency (DCN) meshes.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    N, K = X.shape
+    M = Y.shape[1]
+    dtype = X.dtype
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(), P(), P(), P(), P(axis, None)),
+    )
+    def _fit(Xl, Yl):
+        XY0 = jax.lax.psum(Xl.T @ Yl, axis)
+        XX = None if type1 else jax.lax.psum(Xl.T @ Xl, axis)
+
+        def step(carry, a):
+            XY, Pb, Rb = carry
+            if M == 1:
+                w = XY[:, 0]
+            else:
+                q0 = dominant_eigenvector(XY.T @ XY, power_iters)
+                w = XY @ q0
+            w = w / jnp.sqrt(w @ w)
+            r = w - Rb.T @ (Pb @ w)
+            if type1:
+                t = Xl @ r  # local rows
+                # fuse p (=Xᵀt) and tt (=tᵀt) into one all-reduce
+                stats = jnp.concatenate([Xl.T @ t, (t @ t)[None]])
+                stats = jax.lax.psum(stats, axis)
+                p, tt = stats[:K], stats[K]
+            else:
+                v = XX @ r
+                tt = r @ v
+                p = v
+                t = jnp.zeros((Xl.shape[0],), dtype)
+            p = p / tt
+            q = (XY.T @ r) / tt
+            XY = XY - jnp.outer(p, q) * tt
+            Pb = Pb.at[a].set(p)
+            Rb = Rb.at[a].set(r)
+            return (XY, Pb, Rb), (w, q, t)
+
+        zbuf = jnp.zeros((A, K), dtype)
+        (_, Pb, Rb), (Ws, Qs, Ts) = jax.lax.scan(step, (XY0, zbuf, zbuf), jnp.arange(A))
+        return Ws.T, Pb.T, Qs.T, Rb.T, Ts.T
+
+    W, Pm, Q, R, T = jax.jit(_fit)(X, Y)
+    return PLSFit(
+        W=W, P=Pm, Q=Q, R=R,
+        T=T if type1 else jnp.zeros((0, A), dtype),
+        method=METHOD.KERNEL_TYPE1 if type1 else METHOD.KERNEL_TYPE2,
+    )
+
+
+def cv_lso_sharded(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    partitions: jnp.ndarray,
+    train_size: int,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    mesh: Mesh,
+    precision: str | None = "highest",
+) -> Residual:
+    """Monte-Carlo CV with the replicate axis sharded over mesh axis 'folds'.
+
+    `partitions` is (num_trials, N); num_trials must divide evenly over the
+    'folds' axis size.  X/Y are replicated per device.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    N = X.shape[0]
+    num_trials = partitions.shape[0]
+    test_size = N - train_size
+
+    parts_sh = NamedSharding(mesh, P("folds", None))
+    rep = NamedSharding(mesh, P())
+    parts = jax.device_put(jnp.asarray(partitions), parts_sh)
+    Xr = jax.device_put(X, rep)
+    Yr = jax.device_put(Y, rep)
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P(None, "folds")))
+    def _cv(Xr, Yr, parts):
+        def rep_fn(perm):
+            mask = jnp.zeros((N,), Xr.dtype).at[perm[:train_size]].set(1)
+            f = fit(Xr, Yr, A, method, row_mask=mask, precision=precision)
+            return residuals_all_components(
+                f, Xr[perm[train_size:]], Yr[perm[train_size:]]
+            )  # (test, A, M)
+
+        errs = jax.vmap(rep_fn)(parts)  # (trials, test, A, M)
+        return jnp.transpose(errs, (3, 0, 1, 2))  # (M, trials, test, A)
+
+    errors = _cv(Xr, Yr, parts)
+    M = Y.shape[1]
+    return Residual(
+        errors=errors.reshape(M, num_trials * test_size, A), method="LSO"
+    )
+
+
+def train_step(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    partitions: jnp.ndarray,
+    train_size: int,
+    *,
+    mesh: Mesh,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    precision: str | None = "highest",
+):
+    """The framework's full multi-chip "training step", as one jitted
+    program over both mesh axes:
+
+      1. row-sharded global fit (data parallel over 'rows'; psums for the
+         cross-products) →
+      2. fold-sharded Monte-Carlo CV replicates (scenario parallel over
+         'folds') →
+      3. replicated PRESS summary per component.
+
+    Returns (PLSFit with replicated W/P/Q/R, press (M, A)).
+    Used by __graft_entry__.dryrun_multichip for the multi-chip compile
+    validation.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    N = X.shape[0]
+
+    row_sh = NamedSharding(mesh, P("rows", None))
+    folds_sh = NamedSharding(mesh, P("folds", None))
+    rep = NamedSharding(mesh, P())
+    Xs = jax.device_put(X, row_sh)
+    Ys = jax.device_put(Y, row_sh)
+    parts = jax.device_put(jnp.asarray(partitions), folds_sh)
+
+    @partial(jax.jit, out_shardings=(rep, rep))
+    def _step(Xs, Ys, parts):
+        f = fit(Xs, Ys, A, method, precision=precision)
+        f = PLSFit(W=f.W, P=f.P, Q=f.Q, R=f.R,
+                   T=jnp.zeros((0, A), Xs.dtype), method=f.method)
+
+        def rep_fn(perm):
+            mask = jnp.zeros((N,), Xs.dtype).at[perm[:train_size]].set(1)
+            fv = fit(Xs, Ys, A, method, row_mask=mask, precision=precision)
+            return residuals_all_components(
+                fv, Xs[perm[train_size:]], Ys[perm[train_size:]]
+            )
+
+        errs = jax.vmap(rep_fn)(parts)  # (trials, test, A, M)
+        press = jnp.sum(errs * errs, axis=(0, 1)).T  # (M, A)
+        return f, press
+
+    return _step(Xs, Ys, parts)

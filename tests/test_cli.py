@@ -1,0 +1,144 @@
+"""CLI contract tests (reference /root/reference/src/main.cpp:10-44).
+
+Runs `python -m pls_tpu` in a subprocess (CPU, x64) and checks exit codes,
+stderr layout, and numeric parity of every reported table against the
+captured reference CLI stderr (tests/golden/*_cli_stderr.txt).
+"""
+
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+GOLDEN = REPO / "tests" / "golden"
+REF = Path("/root/reference")
+
+
+def run_cli(*args, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run(
+        [sys.executable, "-m", "pls_tpu", *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=timeout,
+    )
+
+
+def test_bad_argc_exits_100():
+    r = run_cli("only_one_arg", timeout=120)
+    assert r.returncode == 100
+    assert "Usage: ./pls X_data.csv Y_data.csv num_components" in r.stderr
+
+
+def test_ragged_csv_exits_1(tmp_path):
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1,2,3\n4,5\n")
+    y = tmp_path / "y.csv"
+    y.write_text("1\n2\n")
+    r = run_cli(str(bad), str(y), "1", timeout=120)
+    assert r.returncode == 1
+    # the reference's exact diagnostic (pls.cpp:56)
+    assert (
+        "Error: row 1 has 2 columns, but previous row(s) have 3 columns."
+        in r.stderr
+    )
+
+
+def test_missing_file_errors(tmp_path):
+    r = run_cli(str(tmp_path / "nope.csv"), str(tmp_path / "nope2.csv"), "1",
+                timeout=120)
+    assert r.returncode == 1
+
+
+def _parse_labeled_matrix(text: str, label: str) -> np.ndarray:
+    """Parse a 'label:\\n<rows...>' block of floats from CLI stderr."""
+    lines = text.split("\n")
+    idx = lines.index(f"{label}:")
+    rows = []
+    for line in lines[idx + 1:]:
+        vals = line.split()
+        try:
+            rows.append([float(v) for v in vals])
+        except ValueError:
+            break
+        if not vals:
+            break
+    return np.asarray(rows)
+
+
+def _parse_ref_complex_matrix(text: str, label: str) -> np.ndarray:
+    """Parse Eigen's complex '(re,im)' matrix from the reference stderr."""
+    lines = text.split("\n")
+    idx = lines.index(f"{label}:")
+    rows = []
+    pat = re.compile(r"\(([-+0-9.e]+),[-+0-9.e]+\)")
+    for line in lines[idx + 1:]:
+        vals = pat.findall(line)
+        if not vals:
+            break
+        rows.append([float(v) for v in vals])
+    return np.asarray(rows)
+
+
+@pytest.fixture(scope="module")
+def toy_run():
+    r = run_cli(str(REF / "toyX.csv"), str(REF / "toyY.csv"), "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r
+
+
+def test_stdout_empty(toy_run):
+    # all report output goes to stderr (pls.h:158,245,248)
+    assert toy_run.stdout == ""
+
+
+def test_state_tables_match_reference(toy_run):
+    gold_text = (GOLDEN / "toy_cli_stderr.txt").read_text()
+    for label in ["P", "W", "R", "Q", "T", "coefficients"]:
+        ref = _parse_ref_complex_matrix(gold_text, label)
+        mine = _parse_labeled_matrix(toy_run.stderr, label)
+        assert mine.shape == ref.shape, label
+        # 6-sig-digit prints; allow per-column sign flips
+        signs = np.sign(np.sum(mine * ref, axis=0))
+        signs[signs == 0] = 1
+        np.testing.assert_allclose(mine * signs, ref, rtol=2e-5, atol=1e-5,
+                                   err_msg=label)
+
+
+def test_explained_variance_lines(toy_run):
+    gold_text = (GOLDEN / "toy_cli_stderr.txt").read_text()
+    pat = re.compile(
+        r"(\d+) components explained variance:\s+(\S+)\s+(\S+)\s+- SSE:\s+(\S+)\s+(\S+)"
+    )
+    ref = {m.group(1): [float(m.group(i)) for i in (2, 3, 4, 5)]
+           for m in pat.finditer(gold_text)}
+    mine = {m.group(1): [float(m.group(i)) for i in (2, 3, 4, 5)]
+            for m in pat.finditer(toy_run.stderr)}
+    assert set(ref) == set(mine) == {"1", "2"}
+    for k in ref:
+        np.testing.assert_allclose(mine[k], ref[k], rtol=2e-5)
+
+
+def test_validation_blocks_match_reference(toy_run):
+    gold_text = (GOLDEN / "toy_cli_stderr.txt").read_text()
+
+    def grab(text, method):
+        m = re.search(
+            rf"{method} Validation:\nRMSE  Matrix \(rows = Y variable; cols = # of components\):\n"
+            rf"(.*?)\nOptimal number of components \(by Y variable\):\t(\d+)\n(\d+)",
+            text, re.S,
+        )
+        assert m, f"{method} block missing"
+        mat = np.asarray([[float(v) for v in ln.split()] for ln in m.group(1).split("\n")])
+        return mat, (int(m.group(2)), int(m.group(3)))
+
+    for method in ["LOO", "LSO"]:
+        ref_mat, ref_opt = grab(gold_text, method)
+        my_mat, my_opt = grab(toy_run.stderr, method)
+        np.testing.assert_allclose(my_mat, ref_mat, rtol=2e-5, err_msg=method)
+        assert my_opt == ref_opt, method

@@ -1,0 +1,130 @@
+"""Multi-device semantics on an 8-virtual-device CPU mesh.
+
+The standard way to test pjit/psum behavior without a pod (SURVEY.md §4):
+conftest.py forces 8 XLA host devices.  Every sharded execution path must
+agree with the single-device reference fit to near machine precision, and
+the full composed training step must compile and run over both mesh axes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pls_tpu as pt
+from pls_tpu.parallel import (
+    cv_lso_sharded,
+    fit_rowsharded_shardmap,
+    fit_sharded,
+    make_pls_mesh,
+    train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    N, K, M = 64, 24, 3
+    X = jnp.asarray(rng.normal(size=(N, K)))
+    B = rng.normal(size=(K, M))
+    Y = jnp.asarray(rng.normal(size=(N, M)) * 0.1 + rng.normal(size=(N, K)) @ B * 0)
+    Y = jnp.asarray(np.asarray(X) @ B + rng.normal(size=(N, M)) * 0.1)
+    return X, Y
+
+
+class TestShardedFit:
+    def test_gspmd_rowsharded_equals_single(self, data):
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        ref = pt.fit(X, Y, 4)
+        sh = fit_sharded(X, Y, 4, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(sh)), np.asarray(pt.coefficients(ref)),
+            atol=1e-10,
+        )
+
+    @pytest.mark.parametrize("type1", [True, False])
+    def test_shardmap_psum_equals_single(self, data, type1):
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        method = pt.KERNEL_TYPE1 if type1 else pt.KERNEL_TYPE2
+        ref = pt.fit(X, Y, 4, method)
+        sh = fit_rowsharded_shardmap(X, Y, 4, type1=type1, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(sh)), np.asarray(pt.coefficients(ref)),
+            atol=1e-10,
+        )
+        if type1:
+            # row-sharded T gathers back to the full scores
+            np.testing.assert_allclose(
+                np.asarray(sh.T), np.asarray(ref.T), atol=1e-10
+            )
+
+    def test_mixed_mesh_shapes(self, data):
+        X, Y = data
+        mesh = make_pls_mesh(rows=4, folds=2)
+        ref = pt.fit(X, Y, 3)
+        sh = fit_sharded(X, Y, 3, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(sh)), np.asarray(pt.coefficients(ref)),
+            atol=1e-10,
+        )
+
+
+class TestShardedCV:
+    def test_lso_sharded_equals_local(self, data):
+        X, Y = data
+        N = X.shape[0]
+        mesh = make_pls_mesh(rows=1, folds=8)
+        rng = np.random.default_rng(3)
+        trials = 16
+        parts = jnp.asarray(np.stack([rng.permutation(N) for _ in range(trials)]))
+        train_size = 48
+        sh = cv_lso_sharded(X, Y, 4, parts, train_size, mesh=mesh)
+        local = pt.cv_lso(
+            X, Y, 4, (N - train_size) / N, trials, partitions=parts
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh.errors), np.asarray(local.errors), atol=1e-10
+        )
+
+
+class TestTrainStep:
+    def test_composed_step(self, data):
+        X, Y = data
+        mesh = make_pls_mesh(rows=4, folds=2)
+        rng = np.random.default_rng(5)
+        parts = jnp.asarray(np.stack([rng.permutation(64) for _ in range(8)]))
+        f, press = train_step(X, Y, 4, parts, 48, mesh=mesh)
+        assert press.shape == (3, 4)
+        assert np.all(np.isfinite(np.asarray(press)))
+        # fit part must equal the unsharded fit
+        ref = pt.fit(X, Y, 4)
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(f)), np.asarray(pt.coefficients(ref)),
+            atol=1e-10,
+        )
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (256, 8)
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

@@ -1,0 +1,147 @@
+"""PLSModel API tests (the reference `PLS::Model` façade, pls.h:184-266)."""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pls_tpu as pt
+from pls_tpu.model import PLSModel
+
+
+@pytest.fixture(scope="module")
+def toy_model(toy):
+    X, Y = toy
+    return PLSModel(X, Y, pt.KERNEL_TYPE1, 2)
+
+
+class TestConstruction:
+    def test_default_components_is_K(self, toy):
+        # reference default A = K = X.cols() (pls.cpp:359)
+        X, Y = toy
+        m = PLSModel(X, Y)
+        assert m.A == X.shape[1]
+
+    def test_shape_validation(self, toy):
+        X, Y = toy
+        with pytest.raises(ValueError):
+            PLSModel(X, Y, max_components=99)  # A > K (pls.cpp:345)
+        with pytest.raises(ValueError):
+            PLSModel(X, Y[:5])  # row mismatch (pls.cpp:347)
+        with pytest.raises(ValueError):
+            PLSModel(X[:0], Y[:0])  # empty (pls.cpp:346)
+
+    def test_1d_y_promoted(self, nir):
+        X, Y = nir
+        m = PLSModel(X, Y.ravel(), max_components=3)
+        assert m.Q.shape == (1, 3)
+
+
+class TestAccessors:
+    def test_matrix_shapes(self, toy_model):
+        assert toy_model.W.shape == (15, 2)
+        assert toy_model.P.shape == (15, 2)
+        assert toy_model.R.shape == (15, 2)
+        assert toy_model.Q.shape == (2, 2)
+        assert toy_model.T.shape == (10, 2)
+        assert toy_model.coefficients().shape == (15, 2)
+        assert toy_model.loadingsX(1).shape == (15, 1)
+        assert toy_model.loadingsY().shape == (2, 2)
+
+    def test_default_args_use_training_data(self, toy_model, golden):
+        np.testing.assert_allclose(
+            np.asarray(toy_model.coefficients()), golden("toy_B"), atol=1e-10
+        )
+        ev2 = np.asarray(toy_model.explained_variance())
+        np.testing.assert_allclose(ev2[None, :], golden("toy_ev")[1:2], atol=1e-10)
+
+    def test_residuals_roundtrip(self, toy_model):
+        res = np.asarray(toy_model.residuals())
+        fit = np.asarray(toy_model.fitted_values())
+        np.testing.assert_allclose(
+            fit + res, np.asarray(toy_model.Y), atol=1e-12
+        )
+
+
+class TestCV:
+    def test_cv_loo_label_and_parity(self, toy_model, golden):
+        loo = toy_model.cv_LOO()
+        assert loo.method == "LOO"
+        np.testing.assert_allclose(
+            np.asarray(loo.errors[0]), golden("toy_loo_resid_y0"), atol=1e-10
+        )
+
+    def test_cv_loo_downdate_kernel2(self, toy):
+        X, Y = toy
+        m2 = PLSModel(X, Y, pt.KERNEL_TYPE2, 2)
+        a = m2.cv_LOO()
+        b = m2.cv_LOO(downdate=True)
+        np.testing.assert_allclose(
+            np.asarray(a.errors), np.asarray(b.errors), atol=1e-9
+        )
+
+    def test_cv_lso_gcc_rng(self, toy_model, golden):
+        from pls_tpu.utils.gcc_rng import GccRng
+
+        lso = toy_model.cv_LSO(0.3, 100, GccRng())
+        np.testing.assert_allclose(
+            np.asarray(lso.errors[0]), golden("toy_lso_resid_y0"), atol=1e-10
+        )
+
+    def test_cv_lso_int_seed(self, toy_model):
+        lso = toy_model.cv_LSO(0.3, 5, 42)
+        assert lso.errors.shape == (2, 15, 2)
+
+    def test_cv_new_data(self, toy_model, toy):
+        X, Y = toy
+        nd = toy_model.cv_NEW_DATA(X[5:], Y[5:])
+        assert nd.method == "NEW DATA"
+
+
+class TestReports:
+    def test_print_state_layout(self, toy_model):
+        buf = io.StringIO()
+        toy_model.print_state(file=buf)
+        out = buf.getvalue()
+        for label in ["P:", "W:", "R:", "Q:", "T:", "coefficients:"]:
+            assert f"{label}\n" in out
+        # spot value from the reference print_state (BASELINE.md): W[0,0]
+        assert "-0.265544" in out or "0.265544" in out
+
+    def test_print_explained_variance_layout(self, toy_model):
+        buf = io.StringIO()
+        toy_model.print_explained_variance(file=buf)
+        lines = buf.getvalue().strip().split("\n")
+        assert len(lines) == 2
+        assert lines[0].startswith("1 components explained variance:")
+        assert "- SSE:" in lines[0]
+
+    def test_print_validation_layout(self, toy_model):
+        buf = io.StringIO()
+        loo = toy_model.cv_LOO()
+        pt.print_validation(loo, pt.MSE, file=buf)
+        out = buf.getvalue()
+        assert out.startswith("LOO Validation:\n")
+        assert "RMSE  Matrix (rows = Y variable; cols = # of components):" in out
+        assert "Optimal number of components (by Y variable):\t2\n1" in out
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, toy_model, tmp_path):
+        p = str(tmp_path / "model.npz")
+        toy_model.save(p)
+        m2 = PLSModel.load(p)
+        assert m2.A == toy_model.A
+        assert m2.method == toy_model.method
+        np.testing.assert_allclose(
+            np.asarray(m2.coefficients()), np.asarray(toy_model.coefficients()),
+            atol=0,
+        )
+        # loaded model can run CV (has data)
+        loo = m2.cv_LOO()
+        np.testing.assert_allclose(
+            np.asarray(loo.errors),
+            np.asarray(toy_model.cv_LOO().errors),
+            atol=1e-12,
+        )

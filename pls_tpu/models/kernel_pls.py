@@ -51,6 +51,7 @@ def fit(
     row_mask: jnp.ndarray | None = None,
     power_iters: int | None = None,
     precision: str | None = "highest",
+    use_pallas: bool | None = None,
 ) -> PLSFit:
     """Fit a PLS model of up to `A` components.
 
@@ -67,6 +68,10 @@ def fit(
          for the M>1 dominant-eigenvector step.
       precision: jax matmul precision context ("highest" for f32 parity /
          CPU; None to use the session default, e.g. bf16-on-MXU for speed).
+      use_pallas: KERNEL_TYPE1 only — run the per-component (t, tt, p)
+         X-streaming pass as the fused Pallas kernel (ops/deflate.py),
+         halving HBM traffic.  None = auto (Pallas on TPU when the row
+         tile fits VMEM).
 
     Returns: PLSFit pytree (W, P, Q, R, T, method).
     """
@@ -88,9 +93,21 @@ def fit(
         Y = Y * m
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
+        if use_pallas is None:
+            use_pallas = False  # auto-dispatch decided inside deflate_pass
+            from pls_tpu.ops.deflate import _HAS_PALLAS, _row_tile
+
+            use_pallas = (
+                method == METHOD.KERNEL_TYPE1
+                and _HAS_PALLAS
+                and jax.default_backend() not in ("cpu",)
+                and _row_tile(K, X.dtype.itemsize) >= 8
+                and X.dtype == jnp.float32
+            )
         return _fit_kernel(
             X, Y, A, type1=(method == METHOD.KERNEL_TYPE1),
             power_iters=power_iters, precision=precision,
+            use_pallas=use_pallas,
         )
     if method == METHOD.NIPALS:
         from pls_tpu.models.nipals import fit_nipals
@@ -111,7 +128,10 @@ def _prec_ctx(precision: str | None):
     return jax.default_matmul_precision(precision)
 
 
-@partial(jax.jit, static_argnames=("A", "type1", "power_iters", "precision"))
+@partial(
+    jax.jit,
+    static_argnames=("A", "type1", "power_iters", "precision", "use_pallas"),
+)
 def _fit_kernel(
     X: jnp.ndarray,
     Y: jnp.ndarray,
@@ -119,6 +139,7 @@ def _fit_kernel(
     type1: bool,
     power_iters: int | None,
     precision: str | None,
+    use_pallas: bool = False,
 ) -> PLSFit:
     """Kernel algorithms #1/#2 as a scan over components.
 
@@ -148,9 +169,14 @@ def _fit_kernel(
             # Gram-Schmidt vs previous loadings; rows >= a of Pb/Rb are zero
             r = w - Rb.T @ (Pb @ w)
             if type1:
-                t = X @ r
-                tt = t @ t
-                p = X.T @ t
+                if use_pallas:
+                    from pls_tpu.ops.deflate import deflate_pass
+
+                    t, tt, p = deflate_pass(X, r, use_pallas=True)
+                else:
+                    t = X @ r
+                    tt = t @ t
+                    p = X.T @ t
             else:
                 v = XX @ r
                 tt = r @ v

@@ -97,7 +97,7 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
         out_specs=[
             pl.BlockSpec((tn, 1), lambda i: (i, 0)),
             pl.BlockSpec((K, 1), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM if not interpret else pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM if not interpret else pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), dtype),

@@ -1,0 +1,57 @@
+"""Packaging smoke tests — the intent-level equivalent of the reference's
+ctest packaging harness (SURVEY.md §2 #23-26): the library must be fully
+importable and drivable from a clean interpreter with only its public
+surface, and the console entry point must resolve."""
+
+import subprocess
+import sys
+
+
+def test_public_api_surface():
+    import pls_tpu as pt
+
+    for name in pt.__all__:
+        assert getattr(pt, name, None) is not None, name
+
+
+def test_console_script_target():
+    # pyproject declares pls = pls_tpu.cli:main
+    from pls_tpu.cli import main
+
+    assert callable(main)
+
+
+def test_clean_interpreter_roundtrip(tmp_path):
+    """Consumer-project smoke test: import the package in a fresh process,
+    fit, predict, save, reload (mirrors the intent of the reference's
+    tests/integration consumer, which no longer even compiles —
+    SURVEY.md §4)."""
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import pls_tpu as pt
+rng = np.random.default_rng(0)
+X = pt.colwise_z_scores(rng.normal(size=(30, 8)))
+Y = pt.colwise_z_scores(rng.normal(size=(30, 2)))
+m = pt.PLSModel(X, Y, pt.KERNEL_TYPE1, 3)
+assert m.coefficients().shape == (8, 2)
+m.save(r"{tmp_path}/m.npz")
+m2 = pt.PLSModel.load(r"{tmp_path}/m.npz")
+assert np.allclose(np.asarray(m2.coefficients()), np.asarray(m.coefficients()))
+print("CONSUMER_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CONSUMER_OK" in r.stdout
+
+
+def test_native_extension_optional():
+    """The package must work with or without the native extension."""
+    from pls_tpu.utils.io import _read_matrix_python
+
+    m = _read_matrix_python("/root/reference/toyX.csv")
+    assert m.shape == (10, 15)

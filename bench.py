@@ -1,20 +1,30 @@
 #!/usr/bin/env python
-"""Headline benchmark for the driver: fused-deflation kernel bandwidth.
+"""Headline benchmark for the driver: fused-deflation throughput.
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 Diagnostics go to stderr.
 
 Metric: one-pass bandwidth of the per-component deflation update
-(t = X r, tt = tᵀt, p = Xᵀ t) on the largest X that comfortably fits one
-chip — the hot loop of kernel-PLS type 1 (BASELINE.json: "NIPALS deflation
-GB/s per chip").  Bytes counted as one logical pass of X (N·K·itemsize)
-per component, identically for every implementation.
+(t = X r, tt = tᵀt, p = Xᵀ t) — the hot loop of kernel-PLS type 1
+(BASELINE.json: "NIPALS deflation GB/s per chip").  Bytes are counted as
+ONE logical pass of X (N·K·itemsize) per component for every
+implementation, so a fused single-pass kernel can exceed the naive
+two-pass formulation by up to 2× at the same physical bandwidth.
+
+Measurement methodology (important on relay/tunnel-attached TPUs, where
+dispatch is pipelined, `block_until_ready` on small outputs can return
+before execution, and device-side loops with scalar readbacks can stall):
+the component update is dispatched as a Python-level chain of jitted
+calls whose inputs depend on the previous call's outputs
+(r_{i+1} = normalize(p_i) — the same dependency structure as the real PLS
+scan), so the device must serialize them; a single scalar readback at the
+end forces completion.  Timed at two chain lengths; per-component time is
+the SLOPE, which cancels dispatch/RTT constants.
 
 Baseline: the reference's own hot loop (Eigen, single thread, double,
 /root/reference/src/pls.cpp:418-421) measured on this host at 3.64 GB/s
-one-pass-equivalent (N=20000, K=2000; tools/refbench — see BASELINE.md
-hardware).  vs_baseline = ours / 3.64.
+one-pass-equivalent (N=20000, K=2000; see BASELINE.md).
 """
 
 import json
@@ -24,17 +34,8 @@ import time
 REFERENCE_ONEPASS_GBPS = 3.64  # Eigen f64 single-thread, measured this host
 
 
-def _bench(fn, args, iters=30, warmup=2):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def log(msg: str) -> None:
+    print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> int:
@@ -53,43 +54,61 @@ def main() -> int:
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    # ~512 MB f32 operand on TPU; smaller on CPU fallback
     N, K = (65536, 2048) if on_tpu else (8192, 1024)
     dtype = jnp.float32
+    gb = N * K * 4 / 1e9
 
     key = jax.random.key(0)
     kx, kr = jax.random.split(key)
-    # generate on device: avoids pushing the full X through host transfer
+    # generate on device: avoids pushing X through a host transfer
     X = jax.random.normal(kx, (N, K), dtype)
-    r = jax.random.normal(kr, (K,), dtype)
-    jax.block_until_ready((X, r))
+    r0 = jax.random.normal(kr, (K,), dtype)
+    jax.block_until_ready((X, r0))
+    log(f"backend={backend} N={N} K={K} ({gb*1e3:.0f} MB operand)")
 
-    xla_dt = _bench(jax.jit(deflate_pass_xla), (X, r))
-    print(f"[bench] backend={backend} N={N} K={K}", file=sys.stderr)
-    gb = N * K * dtype.dtype.itemsize / 1e9 if hasattr(dtype, "dtype") else N * K * 4 / 1e9
-    print(
-        f"[bench] xla two-pass: {xla_dt*1e3:.3f} ms -> {gb/xla_dt:.1f} GB/s (one-pass count)",
-        file=sys.stderr,
-    )
+    @jax.jit
+    def _advance(p):
+        return p * jax.lax.rsqrt(p @ p)
 
-    best_dt = xla_dt
-    impl = "xla_two_pass"
+    def run_chain(step_fn, iters):
+        """Dispatch `iters` dependency-chained component updates, then force
+        completion with one scalar readback.  Returns wall seconds."""
+        t0 = time.perf_counter()
+        r = r0
+        tt = None
+        for _ in range(iters):
+            t, tt, p = step_fn(X, r)
+            r = _advance(p)
+        float(tt)
+        return time.perf_counter() - t0
+
+    def slope_time(pass_fn, label, short=5, long=25, reps=3):
+        step = jax.jit(pass_fn)
+        t0 = time.perf_counter()
+        run_chain(step, 1)  # compile both programs + first run
+        log(f"{label} compile+first: {time.perf_counter()-t0:.1f}s")
+        times = {}
+        for iters in (short, long):
+            best = min(run_chain(step, iters) for _ in range(reps))
+            times[iters] = best
+            log(f"{label} iters={iters}: best {best*1e3:.1f} ms")
+        per = max((times[long] - times[short]) / (long - short), 1e-9)
+        log(f"{label}: {per*1e3:.3f} ms/component -> {gb/per:.1f} GB/s one-pass")
+        return per
+
+    results = {}
+    results["xla_two_pass"] = slope_time(deflate_pass_xla, "xla_two_pass")
     if on_tpu and _HAS_PALLAS:
         try:
-            pallas_dt = _bench(_deflate_pass_pallas, (X, r))
-            print(
-                f"[bench] pallas fused: {pallas_dt*1e3:.3f} ms -> "
-                f"{gb/pallas_dt:.1f} GB/s (one-pass count)",
-                file=sys.stderr,
+            results["pallas_fused"] = slope_time(
+                lambda X, r: _deflate_pass_pallas(X, r), "pallas_fused"
             )
-            if pallas_dt < best_dt:
-                best_dt = pallas_dt
-                impl = "pallas_fused"
-        except Exception as e:  # report, fall back to XLA number
-            print(f"[bench] pallas failed: {e}", file=sys.stderr)
+        except Exception as e:
+            log(f"pallas failed: {e}")
 
-    gbps = gb / best_dt
-    print(f"[bench] best={impl}", file=sys.stderr)
+    impl = min(results, key=results.get)
+    gbps = gb / results[impl]
+    log(f"best={impl}")
     print(
         json.dumps(
             {

@@ -58,6 +58,12 @@ from pls_tpu.cv.validation import (
     validation,
     optimal_num_components,
     print_validation,
+    q_squared,
+    rmsep,
+)
+from pls_tpu.cv.bootstrap import (
+    bootstrap_coefficients,
+    bootstrap_coefficient_intervals,
 )
 from pls_tpu.cv.loo import cv_loo
 from pls_tpu.cv.lso import cv_lso
@@ -96,6 +102,10 @@ __all__ = [
     "validation",
     "optimal_num_components",
     "print_validation",
+    "q_squared",
+    "rmsep",
+    "bootstrap_coefficients",
+    "bootstrap_coefficient_intervals",
     "cv_loo",
     "cv_lso",
     "cv_new_data",

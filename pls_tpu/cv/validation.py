@@ -62,6 +62,33 @@ def optimal_num_components(residual: Residual, alpha: float = 0.1) -> jnp.ndarra
     return jax.vmap(per_y)(press, errs)
 
 
+def q_squared(residual: Residual, Y: jnp.ndarray) -> jnp.ndarray:
+    """Q² = 1 − PRESS/SST per (response, component count) — the standard
+    cross-validated R² of chemometrics (derived metric the reference
+    leaves to the user; PRESS from pls.cpp:235-261, SST from pls.cpp:69-77).
+
+    `Y` is the full response matrix the CV ran over (its column SST is the
+    normalizer).  Shape: (M, A).
+    """
+    from pls_tpu.ops.stats import sst
+
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    press = validation(residual, RESS)  # (M, A)
+    # LSO records test_size·trials rows (obs appear repeatedly); normalize
+    # PRESS to per-observation scale against the matching SST scale
+    n_y = Y.shape[0]
+    scale = residual.n_obs / n_y
+    return 1.0 - press / (sst(Y)[:, None] * scale)
+
+
+def rmsep(residual: Residual) -> jnp.ndarray:
+    """Root-mean-squared error of prediction per (response, component):
+    sqrt(MSE) — the matrix the reference prints as 'RMSE' (pls.cpp:299)."""
+    return jnp.sqrt(validation(residual, MSE))
+
+
 def print_validation(
     residual: Residual,
     out_type: VALIDATION_OUTPUT = MSE,

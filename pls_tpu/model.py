@@ -117,6 +117,16 @@ class PLSModel:
     def T(self) -> jnp.ndarray:
         return self._fit.T
 
+    def refit(self, X, Y, method: METHOD | None = None) -> "PLSModel":
+        """Fit the same-shape model on new data — the reference's public
+        `Model::plsr(X, Y, algorithm)` re-fit entry point (pls.h:199,
+        pls.cpp:390).  Functional flavor: returns a NEW PLSModel rather
+        than mutating in place."""
+        return PLSModel(
+            X, Y, self._method if method is None else method, self.A,
+            power_iters=self._power_iters, precision=self._precision,
+        )
+
     # ---------- prediction / diagnostics ----------
     def scores(self, X_new=None, comp: int | None = None) -> jnp.ndarray:
         X_new = self._X if X_new is None else jnp.asarray(X_new)

@@ -49,6 +49,7 @@ def fit(
     method: METHOD = METHOD.KERNEL_TYPE1,
     *,
     row_mask: jnp.ndarray | None = None,
+    sample_weight: jnp.ndarray | None = None,
     power_iters: int | None = None,
     precision: str | None = "highest",
     use_pallas: bool | None = None,
@@ -64,6 +65,10 @@ def fit(
       method: KERNEL_TYPE1 | KERNEL_TYPE2 | NIPALS | SIMPLS.
       row_mask: optional (N,) {0,1} mask; masked-out rows are excluded from
          the fit exactly (used by the vmapped cross-validators).
+      sample_weight: optional (N,) non-negative weights; rows are scaled
+         by √w, so the fit sees the weighted cross-products XᵀWY / XᵀWX.
+         Integer weights are exactly equivalent to repeating rows (the
+         bootstrap, cv/bootstrap.py, relies on this).
       power_iters: if set, use fixed-iteration power method instead of eigh
          for the M>1 dominant-eigenvector step.
       precision: jax matmul precision context ("highest" for f32 parity /
@@ -91,6 +96,10 @@ def fit(
         m = row_mask.astype(X.dtype)[:, None]
         X = X * m
         Y = Y * m
+    if sample_weight is not None:
+        w = jnp.sqrt(jnp.asarray(sample_weight, X.dtype))[:, None]
+        X = X * w
+        Y = Y * w
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
         if use_pallas is None:

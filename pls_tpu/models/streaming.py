@@ -1,0 +1,132 @@
+"""Out-of-core / streaming fits for N too large to materialize.
+
+The kernel type-2 algorithm needs X and Y only through the sufficient
+statistics XX = XᵀX (K, K) and XY = XᵀY (K, M) — one streaming pass.
+`StatsAccumulator` builds them chunk-by-chunk (each update is a jitted
+donation-friendly FMA of a (chunk, K) block), then `fit_from_stats`
+(models/kernel_pls.py) runs the X-free component loop.  This is the
+"blockwise X streaming" analogue demanded by SURVEY.md §5 (long-context
+row) for the 1M×10k north-star scale:
+
+    acc = StatsAccumulator(K, M)
+    for Xc, Yc in chunks:          # e.g. memory-mapped or sharded loader
+        acc.update(Xc, Yc)
+    fit = acc.fit(A)
+
+Statistics from different hosts/shards can be combined by addition
+(`StatsAccumulator.merge`), which is exactly the psum the sharded path
+performs on-device (parallel/sharded.py).
+
+Mean/stdev for z-scoring are accumulated in the same pass (count, sum,
+sum-of-squares), so preprocessing also needs no second pass:
+`acc.update_raw` z-scores later chunks against running statistics is NOT
+offered (it would be approximate); instead use `collect_moments` +
+`finalize_zscore_and_stats` for the exact two-pass scheme, or pre-scaled
+data for one pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from pls_tpu.models.kernel_pls import fit_from_stats
+from pls_tpu.types import PLSFit
+
+
+@jax.jit
+def _update(XX, XY, n, Xc, Yc):
+    return XX + Xc.T @ Xc, XY + Xc.T @ Yc, n + Xc.shape[0]
+
+
+@dataclass
+class StatsAccumulator:
+    """Accumulates XᵀX, XᵀY (and row count) over data chunks."""
+
+    K: int
+    M: int
+    dtype: object = jnp.float32
+    XX: jax.Array = field(init=False)
+    XY: jax.Array = field(init=False)
+    n: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        self.XX = jnp.zeros((self.K, self.K), self.dtype)
+        self.XY = jnp.zeros((self.K, self.M), self.dtype)
+        self.n = jnp.zeros((), jnp.int64 if jnp.array(0).dtype == jnp.int64 else jnp.int32)
+
+    def update(self, X_chunk, Y_chunk) -> "StatsAccumulator":
+        X_chunk = jnp.asarray(X_chunk, self.dtype)
+        Y_chunk = jnp.asarray(Y_chunk, self.dtype)
+        if Y_chunk.ndim == 1:
+            Y_chunk = Y_chunk[:, None]
+        self.XX, self.XY, self.n = _update(self.XX, self.XY, self.n, X_chunk, Y_chunk)
+        return self
+
+    def merge(self, other: "StatsAccumulator") -> "StatsAccumulator":
+        """Combine statistics from another shard/host (psum analogue)."""
+        self.XX = self.XX + other.XX
+        self.XY = self.XY + other.XY
+        self.n = self.n + other.n
+        return self
+
+    def fit(self, A: int, **kw) -> PLSFit:
+        return fit_from_stats(self.XX, self.XY, A, **kw)
+
+
+def collect_moments(chunks, K: int, M: int, dtype=jnp.float64):
+    """Pass 1 of exact streaming z-scoring: per-column count/sum/sumsq for
+    X and Y over an iterable of (X_chunk, Y_chunk)."""
+    sx = jnp.zeros((K,), dtype)
+    sxx = jnp.zeros((K,), dtype)
+    sy = jnp.zeros((M,), dtype)
+    syy = jnp.zeros((M,), dtype)
+    n = 0
+    for Xc, Yc in chunks:
+        Xc = jnp.asarray(Xc, dtype)
+        Yc = jnp.asarray(Yc, dtype)
+        if Yc.ndim == 1:
+            Yc = Yc[:, None]
+        sx = sx + Xc.sum(0)
+        sxx = sxx + (Xc * Xc).sum(0)
+        sy = sy + Yc.sum(0)
+        syy = syy + (Yc * Yc).sum(0)
+        n += Xc.shape[0]
+    mean_x = sx / n
+    mean_y = sy / n
+    # unbiased (N-1) stdev, zero-guarded as in ops/stats.py
+    var_x = (sxx - n * mean_x**2) / (n - 1)
+    var_y = (syy - n * mean_y**2) / (n - 1)
+    sd_x = jnp.sqrt(jnp.maximum(var_x, 0))
+    sd_y = jnp.sqrt(jnp.maximum(var_y, 0))
+    return (mean_x, jnp.where(sd_x == 0, 1.0, sd_x),
+            mean_y, jnp.where(sd_y == 0, 1.0, sd_y), n)
+
+
+def fit_streaming(
+    chunks, K: int, M: int, A: int, *,
+    zscore: bool = False, moments=None, dtype=jnp.float32, **kw
+) -> PLSFit:
+    """One-call streaming fit over an iterable of (X_chunk, Y_chunk).
+
+    zscore=True requires `moments` from collect_moments (pass 1); chunks
+    are standardized exactly as the reference CLI does before the
+    statistics are accumulated (pass 2).
+    """
+    acc = StatsAccumulator(K, M, dtype)
+    if zscore:
+        if moments is None:
+            raise ValueError("zscore=True requires moments=collect_moments(...)")
+        mx, sdx, my, sdy, _ = moments
+    for Xc, Yc in chunks:
+        Xc = jnp.asarray(Xc, dtype)
+        Yc = jnp.asarray(Yc, dtype)
+        if Yc.ndim == 1:
+            Yc = Yc[:, None]
+        if zscore:
+            Xc = (Xc - mx.astype(dtype)) / sdx.astype(dtype)
+            Yc = (Yc - my.astype(dtype)) / sdy.astype(dtype)
+        acc.update(Xc, Yc)
+    return acc.fit(A, **kw)

@@ -153,3 +153,25 @@ class TestNewData:
         f = pt.fit(jnp.asarray(X), jnp.asarray(Y), 2)
         with pytest.raises(ValueError):
             pt.cv_new_data(f, jnp.asarray(X)[:, :5], jnp.asarray(Y))
+
+
+class TestDerivedMetrics:
+    def test_q_squared_loo(self, nir, golden):
+        """Q² from LOO must equal 1 − PRESS/SST computed by hand."""
+        import pls_tpu as pt
+        from pls_tpu.cv.validation import q_squared, rmsep
+        from pls_tpu.ops.stats import sst
+
+        X, Y = nir
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        loo = pt.cv_loo(X, Y, 10)
+        q2 = np.asarray(q_squared(loo, Y))
+        press = np.asarray(pt.validation(loo, pt.RESS))
+        expect = 1 - press / np.asarray(sst(Y))[:, None]
+        np.testing.assert_allclose(q2, expect, atol=1e-12)
+        # and RMSEP equals the golden RMSE matrix
+        np.testing.assert_allclose(
+            np.asarray(rmsep(loo)), golden("nir_loo_rmse"), atol=1e-10
+        )
+        # sanity: Q² at the optimum is high for the NIR calibration
+        assert q2[0, 2] > 0.95

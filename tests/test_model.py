@@ -145,3 +145,19 @@ class TestCheckpoint:
             np.asarray(toy_model.cv_LOO().errors),
             atol=1e-12,
         )
+
+
+class TestRefit:
+    def test_refit_matches_fresh_model(self, toy, nir):
+        X, Y = toy
+        m = PLSModel(X, Y, pt.KERNEL_TYPE1, 2)
+        Xn, Yn = nir
+        # refit on different data with the same component budget
+        m2 = m.refit(Xn[:, :15], Yn)
+        fresh = PLSModel(Xn[:, :15], Yn, pt.KERNEL_TYPE1, 2)
+        np.testing.assert_allclose(
+            np.asarray(m2.coefficients()), np.asarray(fresh.coefficients()),
+            atol=0,
+        )
+        # original untouched (functional semantics)
+        assert m.A == 2 and m.X.shape == (10, 15)

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Large-scale synthetic benchmark: streaming stats + 1000-fold batched LOO.
+
+BASELINE.json config #4/#5 shape: a design matrix far bigger than any the
+reference could touch (its nir LOO of 60 folds on 60×401 takes ~80 s
+single-threaded), processed as:
+
+  1. one streaming pass building XX = XᵀX, XY = XᵀY from on-device
+     generated chunks (models/streaming.py algebra) — X itself is never
+     materialized;
+  2. F-fold batched LOO via implicit rank-1 downdates
+     (cv/loo.py: cv_loo_from_stats) — vmapped folds share the single XX
+     through batched MXU matmuls.
+
+Defaults: N=100k, K=5k, M=10, A=20, F=1000 (fits one v5e chip).  The
+1M×10k pod-slice recipe is the same code with a row-sharded stats pass
+(docs/PARALLELISM.md).
+
+Prints one JSON object to stdout; progress to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(m):
+    print(f"[largescale {time.strftime('%T')}] {m}", file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--k", type=int, default=5_000)
+    ap.add_argument("--m", type=int, default=10)
+    ap.add_argument("--a", type=int, default=20)
+    ap.add_argument("--folds", type=int, default=1000)
+    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--fold-batch", type=int, default=125)
+    args = ap.parse_args()
+    # note: fold fits use power_iters=16 for the M>1 dominant eigenvector —
+    # a fixed-iteration power method compiles orders of magnitude faster on
+    # TPU than a batched eigh inside the component scan, at equal accuracy
+    # for well-separated dominant eigenvalues (tests/test_fit_parity.py
+    # pins power-iteration agreement with eigh)
+
+    from pls_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pls_tpu.cv.loo import cv_loo_from_stats
+
+    backend = jax.default_backend()
+    N, K, M, A, F = args.n, args.k, args.m, args.a, args.folds
+    log(f"backend={backend} N={N} K={K} M={M} A={A} folds={F}")
+
+    key = jax.random.key(0)
+    kb, kchunks = jax.random.split(key)
+    # ground-truth coefficient matrix for the synthetic linear model
+    B_true = jax.random.normal(kb, (K, M), jnp.float32) / jnp.sqrt(K)
+
+    @jax.jit
+    def gen_chunk(k):
+        kx, ke = jax.random.split(k)
+        Xc = jax.random.normal(kx, (args.chunk, K), jnp.float32)
+        Yc = Xc @ B_true + 0.1 * jax.random.normal(ke, (args.chunk, M), jnp.float32)
+        return Xc, Yc
+
+    @jax.jit
+    def accum(XX, XY, Xc, Yc):
+        return XX + Xc.T @ Xc, XY + Xc.T @ Yc
+
+    n_chunks = N // args.chunk
+    XX = jnp.zeros((K, K), jnp.float32)
+    XY = jnp.zeros((K, M), jnp.float32)
+    fold_X = fold_Y = None
+
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        if (c + 1) * args.chunk > N:
+            break  # keep static shapes; drop the ragged tail (synthetic data)
+        Xc, Yc = gen_chunk(jax.random.fold_in(kchunks, c))
+        XX, XY = accum(XX, XY, Xc, Yc)
+        if c == 0:
+            fold_X, fold_Y = Xc[:F], Yc[:F]  # held-out rows for the LOO folds
+    # force the stats pass to complete
+    float(XX[0, 0] + XY[0, 0])
+    t_stats = time.perf_counter() - t0
+    rows_done = n_chunks * args.chunk
+    log(f"stats pass: {t_stats:.2f}s for {rows_done} rows "
+        f"({rows_done * K * 4 / t_stats / 1e9:.1f} GB/s effective X throughput)")
+    if fold_X.shape[0] < F:
+        log(f"WARNING: only {fold_X.shape[0]} fold rows available")
+        F = fold_X.shape[0]
+
+    # warm-up/compile one fold batch
+    t0 = time.perf_counter()
+    r = cv_loo_from_stats(
+        XX, XY, fold_X[: args.fold_batch], fold_Y[: args.fold_batch], A,
+        batch_size=args.fold_batch, precision=None, power_iters=16,
+    )
+    float(jnp.sum(r.errors * r.errors))
+    log(f"fold-batch compile+first: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    loo = cv_loo_from_stats(
+        XX, XY, fold_X, fold_Y, A,
+        batch_size=args.fold_batch, precision=None, power_iters=16,
+    )
+    press = float(jnp.sum(loo.errors * loo.errors))
+    t_loo = time.perf_counter() - t0
+    fits_per_sec = F / t_loo
+    log(f"{F}-fold LOO: {t_loo:.2f}s -> {fits_per_sec:.1f} fits/s (PRESS={press:.1f})")
+
+    print(json.dumps({
+        "backend": backend,
+        "shape": {"N": rows_done, "K": K, "M": M, "A": A, "folds": F},
+        "stats_pass_sec": round(t_stats, 3),
+        "x_throughput_gbps": round(rows_done * K * 4 / t_stats / 1e9, 2),
+        "loo_sec": round(t_loo, 3),
+        "loo_fits_per_sec": round(fits_per_sec, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,15 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     # precision policy: float64 parity on CPU, float32 on accelerators
     import jax
 
-    # Honor an explicit JAX_PLATFORMS env var even when a sitecustomize-
-    # registered plugin has already forced jax_platforms programmatically
-    # (backends initialize lazily, so a config update here still wins).
-    env_plat = os.environ.get("JAX_PLATFORMS")
-    if env_plat and jax.config.jax_platforms != env_plat:
-        try:
-            jax.config.update("jax_platforms", env_plat)
-        except Exception:
-            pass
+    from pls_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     platform = jax.default_backend()
     dtype_name = args.dtype or ("float64" if platform == "cpu" else "float32")

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pls_tpu.models.kernel_pls import fit, fit_from_stats
+from pls_tpu.models.kernel_pls import fit, fit_from_stats_downdated
 from pls_tpu.utils.batching import padded_map
 from pls_tpu.models.predict import residuals_all_components
 from pls_tpu.types import METHOD, Residual
@@ -69,11 +69,19 @@ def cv_loo_downdate(
     Y: jnp.ndarray,
     A: int,
     *,
+    fold_indices: jnp.ndarray | None = None,
     batch_size: int | None = None,
     power_iters: int | None = None,
     precision: str | None = "highest",
 ) -> Residual:
     """LOO CV via exact rank-1 downdates of XᵀX / XᵀY (KERNEL_TYPE2 only).
+
+    The downdate is applied IMPLICITLY inside the matvec
+    ((XX − xxᵀ) r = XX r − x (xᵀr), models/kernel_pls.py:
+    fit_from_stats_downdated), so no fold ever materializes a K×K matrix
+    and the vmapped folds' XX·r products fuse into one batched MXU matmul
+    against the single shared XX — this is what makes 1000-fold LOO on a
+    10k-wide design tractable (docs/PARALLELISM.md).
 
     Exactness vs. brute-force refits is validated in tests/test_cv.py.
     """
@@ -82,8 +90,11 @@ def cv_loo_downdate(
     if Y.ndim == 1:
         Y = Y[:, None]
     N = X.shape[0]
+    if fold_indices is None:
+        fold_indices = jnp.arange(N)  # classic LOO: every row once
+    fold_indices = jnp.asarray(fold_indices)
     if batch_size is None:
-        batch_size = min(N, 64)
+        batch_size = min(int(fold_indices.shape[0]), 64)
 
     XX = X.T @ X
     XY = X.T @ Y
@@ -91,11 +102,50 @@ def cv_loo_downdate(
     def fold(i):
         x = X[i]
         y = Y[i]
-        XXi = XX - jnp.outer(x, x)
-        XYi = XY - jnp.outer(x, y)
-        f = fit_from_stats(XXi, XYi, A, power_iters=power_iters, precision=precision)
+        f = fit_from_stats_downdated(
+            XX, XY, x, y, A, power_iters=power_iters, precision=precision
+        )
         res = residuals_all_components(f, x[None, :], y[None, :])
         return res[0]  # (A, M)
 
-    errs = padded_map(fold, jnp.arange(N), batch_size)
+    errs = padded_map(fold, fold_indices, batch_size)
+    return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="LOO")
+
+
+def cv_loo_from_stats(
+    XX: jnp.ndarray,
+    XY: jnp.ndarray,
+    fold_X: jnp.ndarray,
+    fold_Y: jnp.ndarray,
+    A: int,
+    *,
+    batch_size: int | None = None,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> Residual:
+    """Batched LOO directly from global statistics — for designs too large
+    to materialize (models/streaming.py builds XX = XᵀX, XY = XᵀY in one
+    streaming pass; only the F held-out rows are kept).
+
+    fold_X: (F, K) held-out observations (must be included in XX/XY);
+    fold_Y: (F, M) their responses.  Returns Residual errors (M, F, A).
+    This is the execution path for the 1M×10k / 1000-fold north star:
+    after the single X pass, no fold touches X again.
+    """
+    fold_X = jnp.asarray(fold_X)
+    fold_Y = jnp.asarray(fold_Y)
+    if fold_Y.ndim == 1:
+        fold_Y = fold_Y[:, None]
+    F = fold_X.shape[0]
+    if batch_size is None:
+        batch_size = min(F, 128)
+
+    def fold(xy):
+        x, y = xy
+        f = fit_from_stats_downdated(
+            XX, XY, x, y, A, power_iters=power_iters, precision=precision
+        )
+        return residuals_all_components(f, x[None, :], y[None, :])[0]  # (A, M)
+
+    errs = padded_map(fold, (fold_X, fold_Y), batch_size)
     return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="LOO")

@@ -213,26 +213,16 @@ def _fit_kernel(
     )
 
 
-@partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
-def fit_from_stats(
-    XX: jnp.ndarray,
-    XY: jnp.ndarray,
-    A: int,
-    *,
-    power_iters: int | None = None,
-    precision: str | None = "highest",
-) -> PLSFit:
-    """Kernel algorithm #2 fit from precomputed cross-products XX = XᵀX
-    (K, K) and XY = XᵀY (K, M).
+def _kernel2_scan(matvec, XY, A, K, dtype, power_iters, precision) -> PLSFit:
+    """Kernel algorithm #2 component loop, abstracted over the XX matvec.
 
-    This is the scalable path for huge N: XX/XY are one streaming pass over
-    the (possibly sharded) data, and the component loop never touches X.
-    It is also the basis of the O(K²)-per-fold rank-1 LOO downdate
-    (cv/loo.py): XXᵢ = XX − xᵢxᵢᵀ, XYᵢ = XY − xᵢyᵢᵀ.
+    `matvec(r) -> XX·r` lets callers supply the Gram matrix implicitly:
+    the plain fit passes `lambda r: XX @ r`; the LOO downdate passes
+    `lambda r: XX @ r − x (xᵀ r)` so the per-fold K×K matrix is never
+    materialized — and under `vmap` over folds the XX@r matvecs batch
+    into a single (K, K) × (K, F) MXU matmul.
     """
-    K = XX.shape[0]
     M = XY.shape[1]
-    dtype = XX.dtype
 
     with _prec_ctx(precision):
 
@@ -246,7 +236,7 @@ def fit_from_stats(
                 w = XYc @ q0
             w = w / jnp.sqrt(w @ w)
             r = w - Rb.T @ (Pb @ w)
-            v = XX @ r
+            v = matvec(r)
             tt = r @ v
             p = v / tt
             q = (XYc.T @ r) / tt
@@ -265,4 +255,49 @@ def fit_from_stats(
         R=Rb.T,
         T=jnp.zeros((0, A), dtype),
         method=METHOD.KERNEL_TYPE2,
+    )
+
+
+@partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
+def fit_from_stats(
+    XX: jnp.ndarray,
+    XY: jnp.ndarray,
+    A: int,
+    *,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> PLSFit:
+    """Kernel algorithm #2 fit from precomputed cross-products XX = XᵀX
+    (K, K) and XY = XᵀY (K, M).
+
+    This is the scalable path for huge N: XX/XY are one streaming pass over
+    the (possibly sharded) data, and the component loop never touches X.
+    It is also the basis of the O(K²)-per-fold rank-1 LOO downdate
+    (cv/loo.py): XXᵢ = XX − xᵢxᵢᵀ, XYᵢ = XY − xᵢyᵢᵀ.
+    """
+    return _kernel2_scan(
+        lambda r: XX @ r, XY, A, XX.shape[0], XX.dtype, power_iters, precision
+    )
+
+
+@partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
+def fit_from_stats_downdated(
+    XX: jnp.ndarray,
+    XY: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    A: int,
+    *,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> PLSFit:
+    """LOO-fold fit from global statistics with an IMPLICIT rank-1
+    downdate: behaves exactly like fit_from_stats(XX − xxᵀ, XY − xyᵀ, A)
+    but never materializes the K×K downdated matrix — the matvec is
+    (XX − xxᵀ) r = XX r − x (xᵀ r).  vmap over (x, y) to run all folds
+    as batched MXU matmuls against the single shared XX."""
+    XYi = XY - jnp.outer(x, y)
+    return _kernel2_scan(
+        lambda r: XX @ r - x * (x @ r),
+        XYi, A, XX.shape[0], XX.dtype, power_iters, precision,
     )

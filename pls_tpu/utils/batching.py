@@ -14,12 +14,18 @@ import jax
 import jax.numpy as jnp
 
 
-def padded_map(fn, xs: jnp.ndarray, batch_size: int):
-    n = xs.shape[0]
+def padded_map(fn, xs, batch_size: int):
+    """xs may be an array or a pytree of arrays sharing the leading axis."""
+    n = jax.tree.leaves(xs)[0].shape[0]
     bs = max(1, min(batch_size, n))
     pad = (-n) % bs
     if pad:
-        xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:1], (pad,) + xs.shape[1:])])
+        xs = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+            ),
+            xs,
+        )
     out = jax.lax.map(fn, xs, batch_size=bs)
     if pad:
         out = jax.tree.map(lambda o: o[:n], out)

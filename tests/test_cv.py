@@ -175,3 +175,33 @@ class TestDerivedMetrics:
         )
         # sanity: Q² at the optimum is high for the NIR calibration
         assert q2[0, 2] > 0.95
+
+
+class TestLooFromStats:
+    def test_matches_cv_loo_downdate(self, nir):
+        """Stats-level LOO (streamed XX/XY + held-out rows) must equal the
+        materialized-X downdate path."""
+        from pls_tpu.cv.loo import cv_loo_from_stats
+
+        X, Y = nir
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        ref = cv_loo_downdate(X, Y, 5)
+        XX = X.T @ X
+        XY = X.T @ Y
+        got = cv_loo_from_stats(XX, XY, X, Y, 5)
+        np.testing.assert_allclose(
+            np.asarray(got.errors), np.asarray(ref.errors), atol=1e-10
+        )
+
+    def test_fold_subset(self, nir):
+        """LOO over a subset of fold rows (the 1000-of-1M north-star shape)."""
+        X, Y = nir
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        idx = jnp.asarray([3, 17, 41])
+        sub = cv_loo_downdate(X, Y, 4, fold_indices=idx)
+        full = cv_loo_downdate(X, Y, 4)
+        np.testing.assert_allclose(
+            np.asarray(sub.errors),
+            np.asarray(full.errors[:, np.asarray(idx), :]),
+            atol=1e-11,
+        )

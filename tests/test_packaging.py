@@ -55,3 +55,14 @@ def test_native_extension_optional():
 
     m = _read_matrix_python("/root/reference/toyX.csv")
     assert m.shape == (10, 15)
+
+
+def test_bundled_datasets():
+    from pls_tpu import datasets
+
+    X, Y = datasets.load_toy()
+    assert X.shape == (10, 15) and Y.shape == (10, 2)
+    Xn, Yn = datasets.load_nir()
+    assert Xn.shape == (60, 401) and Yn.shape == (60, 1)
+    Xs, Ys = datasets.make_synthetic(100, 20, 3, seed=1)
+    assert Xs.shape == (100, 20) and Ys.shape == (100, 3)

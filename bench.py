@@ -28,6 +28,7 @@ one-pass-equivalent (N=20000, K=2000; see BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -96,8 +97,12 @@ def main() -> int:
         log(f"{label}: {per*1e3:.3f} ms/component -> {gb/per:.1f} GB/s one-pass")
         return per
 
+    # The fused Pallas kernel is the headline and compiles in ~1 s; the XLA
+    # two-pass comparison program can take minutes to cold-compile on
+    # remote-compile setups, so it only runs inside the remaining budget.
+    budget = float(os.environ.get("PLS_BENCH_BUDGET_SEC", "420"))
+    start = time.perf_counter()
     results = {}
-    results["xla_two_pass"] = slope_time(deflate_pass_xla, "xla_two_pass")
     if on_tpu and _HAS_PALLAS:
         try:
             results["pallas_fused"] = slope_time(
@@ -105,6 +110,13 @@ def main() -> int:
             )
         except Exception as e:
             log(f"pallas failed: {e}")
+    if not results or (time.perf_counter() - start) < budget * 0.5:
+        try:
+            results["xla_two_pass"] = slope_time(deflate_pass_xla, "xla_two_pass")
+        except Exception as e:
+            log(f"xla comparison failed: {e}")
+            if not results:
+                raise
 
     impl = min(results, key=results.get)
     gbps = gb / results[impl]

@@ -41,7 +41,7 @@ def main() -> int:
     ap.add_argument("--m", type=int, default=10)
     ap.add_argument("--a", type=int, default=20)
     ap.add_argument("--folds", type=int, default=1000)
-    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--fold-batch", type=int, default=125)
     args = ap.parse_args()
     # note: fold fits use power_iters=16 for the M>1 dominant eigenvector —
@@ -68,36 +68,44 @@ def main() -> int:
     # ground-truth coefficient matrix for the synthetic linear model
     B_true = jax.random.normal(kb, (K, M), jnp.float32) / jnp.sqrt(K)
 
-    @jax.jit
+    n_chunks = N // args.chunk
+    rows_done = n_chunks * args.chunk  # static shapes: drop any ragged tail
+
     def gen_chunk(k):
         kx, ke = jax.random.split(k)
         Xc = jax.random.normal(kx, (args.chunk, K), jnp.float32)
         Yc = Xc @ B_true + 0.1 * jax.random.normal(ke, (args.chunk, M), jnp.float32)
         return Xc, Yc
 
+    # Per-chunk dispatches: one jitted (generate chunk → accumulate) step
+    # per chunk.  On a directly-attached chip this pipelines and is
+    # compute-bound; through a loopback relay each dispatch pays a visible
+    # round trip, so large chunks (default 16384 rows) keep the overhead
+    # amortized.  (A single lax.scan over all chunks would be one dispatch,
+    # but its remote compile was observed to take >9 min on this setup.)
     @jax.jit
-    def accum(XX, XY, Xc, Yc):
+    def step(XX, XY, c):
+        Xc, Yc = gen_chunk(jax.random.fold_in(kchunks, c))
         return XX + Xc.T @ Xc, XY + Xc.T @ Yc
 
-    n_chunks = N // args.chunk
     XX = jnp.zeros((K, K), jnp.float32)
     XY = jnp.zeros((K, M), jnp.float32)
-    fold_X = fold_Y = None
-
     t0 = time.perf_counter()
-    for c in range(n_chunks):
-        if (c + 1) * args.chunk > N:
-            break  # keep static shapes; drop the ragged tail (synthetic data)
-        Xc, Yc = gen_chunk(jax.random.fold_in(kchunks, c))
-        XX, XY = accum(XX, XY, Xc, Yc)
-        if c == 0:
-            fold_X, fold_Y = Xc[:F], Yc[:F]  # held-out rows for the LOO folds
-    # force the stats pass to complete
+    XX, XY = step(XX, XY, 0)
+    float(XX[0, 0])
+    t_compile_and_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for c in range(1, n_chunks):
+        XX, XY = step(XX, XY, c)
     float(XX[0, 0] + XY[0, 0])
-    t_stats = time.perf_counter() - t0
-    rows_done = n_chunks * args.chunk
-    log(f"stats pass: {t_stats:.2f}s for {rows_done} rows "
-        f"({rows_done * K * 4 / t_stats / 1e9:.1f} GB/s effective X throughput)")
+    t_stats = (time.perf_counter() - t0) * n_chunks / max(n_chunks - 1, 1)
+    log(f"stats pass: compile+first {t_compile_and_first:.1f}s, "
+        f"steady {t_stats:.2f}s for {rows_done} rows "
+        f"({rows_done * K * 4 / t_stats / 1e9:.2f} GB/s X throughput, "
+        f"{2 * rows_done * float(K) * K / t_stats / 1e12:.1f} TFLOP/s)")
+
+    fold_X, fold_Y = gen_chunk(jax.random.fold_in(kchunks, 0))
+    fold_X, fold_Y = fold_X[:F], fold_Y[:F]  # held-out rows for the folds
     if fold_X.shape[0] < F:
         log(f"WARNING: only {fold_X.shape[0]} fold rows available")
         F = fold_X.shape[0]

@@ -206,6 +206,28 @@ class PLSModel:
             power_iters=self._power_iters, precision=self._precision,
         )
 
+    def bootstrap_coefficient_intervals(
+        self,
+        num_replicates: int = 200,
+        *,
+        alpha: float = 0.05,
+        key=None,
+        comp: int | None = None,
+        batch_size: int | None = None,
+    ):
+        """Percentile bootstrap CIs for the regression coefficients
+        (cv/bootstrap.py).  Returns (lower, upper, draws)."""
+        import jax
+
+        from pls_tpu.cv.bootstrap import bootstrap_coefficient_intervals
+
+        key = jax.random.key(0) if key is None else key
+        A = self.A if comp is None else comp
+        return bootstrap_coefficient_intervals(
+            self._X, self._Y, A, num_replicates, key, self._method,
+            alpha=alpha, batch_size=batch_size, precision=self._precision,
+        )
+
     # ---------- reports (reference pls.cpp:551-580) ----------
     def print_explained_variance(self, X=None, Y=None, file=None) -> None:
         from pls_tpu.utils.reporting import format_eigen

@@ -161,3 +161,26 @@ class TestRefit:
         )
         # original untouched (functional semantics)
         assert m.A == 2 and m.X.shape == (10, 15)
+
+
+class TestBootstrapAPI:
+    def test_model_level_intervals(self, toy):
+        X, Y = toy
+        m = PLSModel(X, Y, pt.KERNEL_TYPE1, 2)
+        lo, hi, draws = m.bootstrap_coefficient_intervals(16)
+        assert lo.shape == (15, 2) and hi.shape == (15, 2)
+        assert draws.shape == (16, 15, 2)
+        assert np.all(np.asarray(lo) <= np.asarray(hi))
+
+
+class TestFloat32:
+    def test_f32_fit_close_to_f64(self, nir):
+        """TPU production precision: f32 fit with highest-precision matmuls
+        tracks the f64 reference within ~1e-3 relative on nir."""
+        X, Y = nir
+        m32 = PLSModel(X, Y, pt.KERNEL_TYPE1, 5, dtype=jnp.float32)
+        B32 = np.asarray(m32.coefficients(), dtype=np.float64)
+        m64 = PLSModel(X, Y, pt.KERNEL_TYPE1, 5)
+        B64 = np.asarray(m64.coefficients())
+        scale = np.abs(B64).max()
+        assert np.abs(B32 - B64).max() / scale < 2e-3

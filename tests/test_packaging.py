@@ -66,3 +66,26 @@ def test_bundled_datasets():
     assert Xn.shape == (60, 401) and Yn.shape == (60, 1)
     Xs, Ys = datasets.make_synthetic(100, 20, 3, seed=1)
     assert Xs.shape == (100, 20) and Ys.shape == (100, 3)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """utils/profiling: trace context + measure + roofline report."""
+    import jax.numpy as jnp
+
+    from pls_tpu.utils import profiling
+
+    def f(x):
+        return jnp.sum(x * x)
+
+    import jax
+
+    jf = jax.jit(f)
+    x = jnp.ones((256, 256))
+    sec = profiling.measure(jf, x, iters=3, warmup=1)
+    assert sec > 0
+    r = profiling.roofline_report(sec, bytes_accessed=256 * 256 * 4, flops=2 * 256 * 256)
+    assert r.achieved_gbps > 0
+    assert "GB/s" in str(r)
+    with profiling.trace(str(tmp_path / "trace")):
+        jf(x).block_until_ready()
+    assert any((tmp_path / "trace").rglob("*")), "trace produced no files"

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Real-TPU smoke: numeric validation + quick timing of the fused Pallas
+deflation kernel against the XLA two-pass path, on whatever accelerator
+the session exposes.  (Interpret-mode semantics are pinned by
+tests/test_pallas.py; this checks the compiled Mosaic kernel on hardware.)
+
+Usage: python tools/tpu_smoke.py [--n 16384] [--k 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--k", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from pls_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pls_tpu.ops.deflate import _deflate_pass_pallas, deflate_pass_xla
+
+    if jax.default_backend() == "cpu":
+        print("no accelerator: nothing to smoke", file=sys.stderr)
+        return 0
+
+    N, K = args.n, args.k
+    kx, kr = jax.random.split(jax.random.key(0))
+    X = jax.random.normal(kx, (N, K), jnp.float32)
+    r = jax.random.normal(kr, (K,), jnp.float32)
+
+    t, tt, p = _deflate_pass_pallas(X, r)
+    t2, tt2, p2 = jax.jit(deflate_pass_xla)(X, r)
+    scale = float(jnp.max(jnp.abs(p2)))
+    err_p = float(jnp.max(jnp.abs(p - p2))) / scale
+    err_tt = abs(float(tt - tt2)) / float(tt2)
+    print(f"pallas vs xla: rel err p={err_p:.2e}, tt={err_tt:.2e}")
+    assert err_p < 1e-4 and err_tt < 1e-4, "kernel mismatch on hardware"
+
+    # dependency-chained timing (see bench.py for why)
+    @jax.jit
+    def advance(p):
+        return p * jax.lax.rsqrt(p @ p)
+
+    def chain(step, iters):
+        rr = r
+        tt = None
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _, tt, pp = step(X, rr)
+            rr = advance(pp)
+        float(tt)
+        return time.perf_counter() - t0
+
+    gb = N * K * 4 / 1e9
+    for label, step in [
+        ("pallas", lambda X, r: _deflate_pass_pallas(X, r)),
+        ("xla2pass", jax.jit(deflate_pass_xla)),
+    ]:
+        chain(step, 1)
+        short = min(chain(step, 3) for _ in range(2))
+        long = min(chain(step, 3 + args.iters) for _ in range(2))
+        per = max((long - short) / args.iters, 1e-9)
+        print(f"{label}: {per*1e3:.3f} ms/component ({gb/per:.0f} GB/s one-pass)")
+    print("TPU smoke OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,6 +15,9 @@ Reference analogue: /root/reference/src/main.cpp:10-44.  Contract:
   numerically identical to the reference CLI (main.cpp:31-41).
 - all report output on stderr; stdout stays empty (pls.h:158,245,248).
 
+Every knob beyond the positional contract is an optional flag backed by
+the `PLSRunConfig` dataclass (config.py).
+
 Deviation (DEVIATIONS.md): matrices print as real numbers, not Eigen's
 complex "(re,0)" tuples — our TPU-native state is real by construction.
 """
@@ -22,7 +25,6 @@ complex "(re,0)" tuples — our TPU-native state is real by construction.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 
 
@@ -33,43 +35,52 @@ USAGE = (
 )
 
 
-def main(argv: list[str] | None = None) -> int:
-    argv = sys.argv[1:] if argv is None else argv
-
+def build_parser() -> argparse.ArgumentParser:
     class _QuietParser(argparse.ArgumentParser):
         # reference behavior: bad argv prints only the usage block and
         # exits 100 (main.cpp:12-16) — suppress argparse's own error text
         def error(self, message):
             raise SystemExit(2)
 
-    parser = _QuietParser(prog="pls", add_help=True, usage=USAGE)
-    parser.add_argument("x_file")
-    parser.add_argument("y_file")
-    parser.add_argument("num_components", type=int)
-    parser.add_argument(
+    p = _QuietParser(prog="pls", add_help=True, usage=USAGE)
+    p.add_argument("x_file")
+    p.add_argument("y_file")
+    p.add_argument("num_components", type=int)
+    p.add_argument(
         "--method", choices=["kernel1", "kernel2", "nipals", "simpls"],
         default="kernel1",
     )
-    parser.add_argument(
+    p.add_argument(
         "--dtype", choices=["float64", "float32", "bfloat16"], default=None,
         help="working precision (default: float64 on CPU, float32 on TPU)",
     )
-    parser.add_argument("--lso-frac", type=float, default=0.3)
-    parser.add_argument(
+    p.add_argument(
+        "--cv", choices=["both", "loo", "lso", "none"], default="both",
+        help="which cross-validations to run (default: both, like the "
+        "reference CLI)",
+    )
+    p.add_argument("--lso-frac", type=float, default=0.3)
+    p.add_argument(
         "--lso-trials", type=int, default=None, help="default: 10 * n_rows"
     )
-    parser.add_argument(
+    p.add_argument(
         "--rng", choices=["gcc", "jax"], default="gcc",
         help="gcc = bit-exact std::mt19937 reference partitions (default)",
     )
-    parser.add_argument("--seed", type=int, default=None)
-    parser.add_argument("--skip-loo", action="store_true")
-    parser.add_argument("--skip-lso", action="store_true")
-    parser.add_argument("--json", metavar="PATH", default=None,
-                        help="also write a structured JSON report")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--alpha", type=float, default=0.1,
+        help="Wilcoxon significance level for optimal-component selection",
+    )
+    p.add_argument("--json", metavar="PATH", default=None,
+                   help="also write a structured JSON report")
+    return p
 
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
     try:
-        args = parser.parse_args(argv)
+        args = build_parser().parse_args(argv)
     except SystemExit as e:
         if e.code == 0:  # --help
             return 0
@@ -78,93 +89,44 @@ def main(argv: list[str] | None = None) -> int:
         return 100
 
     from pls_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    # precision policy: float64 parity on CPU, float32 on accelerators
-    import jax
-
     from pls_tpu.utils.platform import honor_jax_platforms_env
 
+    enable_compilation_cache()
     honor_jax_platforms_env()
 
-    platform = jax.default_backend()
-    dtype_name = args.dtype or ("float64" if platform == "cpu" else "float32")
-    if dtype_name == "float64":
-        jax.config.update("jax_enable_x64", True)
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    from pls_tpu import (
-        KERNEL_TYPE1, KERNEL_TYPE2, MSE, NIPALS, SIMPLS,
-        PLSModel, colwise_z_scores, print_validation, read_matrix_file,
-    )
-    from pls_tpu.cv.validation import optimal_num_components, validation
-    from pls_tpu.utils.gcc_rng import GccRng
+    from pls_tpu.config import PLSRunConfig, run_pipeline
+    from pls_tpu.types import METHOD
     from pls_tpu.utils.io import RaggedMatrixError
 
-    method = {
-        "kernel1": KERNEL_TYPE1, "kernel2": KERNEL_TYPE2,
-        "nipals": NIPALS, "simpls": SIMPLS,
-    }[args.method]
-    dtype = jnp.dtype(dtype_name)
+    cv = {
+        "both": ("loo", "lso"), "loo": ("loo",), "lso": ("lso",), "none": (),
+    }[args.cv]
+    cfg = PLSRunConfig(
+        x_file=args.x_file,
+        y_file=args.y_file,
+        num_components=args.num_components,
+        method={
+            "kernel1": METHOD.KERNEL_TYPE1, "kernel2": METHOD.KERNEL_TYPE2,
+            "nipals": METHOD.NIPALS, "simpls": METHOD.SIMPLS,
+        }[args.method],
+        dtype=args.dtype,
+        cv=cv,
+        lso_fraction=args.lso_frac,
+        lso_trials=args.lso_trials,
+        rng=args.rng,
+        seed=args.seed,
+        alpha=args.alpha,
+        json_out=args.json,
+    )
 
     try:
-        X_orig = read_matrix_file(args.x_file)
-        Y_orig = read_matrix_file(args.y_file)
+        run_pipeline(cfg)
     except RaggedMatrixError as e:
         print(str(e), file=sys.stderr)
         return e.exit_code
     except (OSError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
-
-    X = colwise_z_scores(jnp.asarray(X_orig, dtype))
-    Y = colwise_z_scores(jnp.asarray(Y_orig, dtype))
-
-    model = PLSModel(X, Y, method, args.num_components)
-    model.print_state()
-    model.print_explained_variance(X, Y)
-
-    report: dict = {
-        "method": args.method,
-        "num_components": model.A,
-        "dtype": dtype_name,
-        "explained_variance": {
-            str(c): np.asarray(model.explained_variance(comp=c)).tolist()
-            for c in range(1, model.A + 1)
-        },
-    }
-
-    if not args.skip_loo:
-        loo = model.cv_LOO()
-        print_validation(loo, MSE)
-        report["loo_rmse"] = np.sqrt(np.asarray(validation(loo, MSE))).tolist()
-        report["loo_optimal_components"] = (
-            np.asarray(optimal_num_components(loo)).tolist()
-        )
-
-    if not args.skip_lso:
-        n = X.shape[0]
-        trials = args.lso_trials if args.lso_trials is not None else 10 * n
-        if args.rng == "gcc":
-            rng = GccRng(args.seed if args.seed is not None else 5489)
-        else:
-            rng = jax.random.key(args.seed if args.seed is not None else 0)
-        lso = model.cv_LSO(args.lso_frac, trials, rng)
-        print_validation(lso, MSE)
-        report["lso_rmse"] = np.sqrt(np.asarray(validation(lso, MSE))).tolist()
-        report["lso_optimal_components"] = (
-            np.asarray(optimal_num_components(lso)).tolist()
-        )
-
-    if args.json:
-        import json
-
-        with open(args.json, "w") as f:
-            json.dump(report, f, indent=2)
-
     return 0
 
 

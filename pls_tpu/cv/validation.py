@@ -93,6 +93,7 @@ def print_validation(
     residual: Residual,
     out_type: VALIDATION_OUTPUT = MSE,
     file=None,
+    alpha: float = 0.1,
 ) -> None:
     """Print the validation table in the reference's exact layout
     (reference pls.cpp:291-305; output goes to stderr by default as in
@@ -109,7 +110,7 @@ def print_validation(
         f"{label} Matrix (rows = Y variable; cols = # of components):", file=file
     )
     print(format_eigen(em), file=file)
-    opt = np.asarray(optimal_num_components(residual))
+    opt = np.asarray(optimal_num_components(residual, alpha))
     # Eigen prints the integer column vector one entry per line, with the
     # first entry following the tab (pls.cpp:304)
     body = "\n".join(str(int(v)) for v in opt)

@@ -142,3 +142,38 @@ def test_validation_blocks_match_reference(toy_run):
         my_mat, my_opt = grab(toy_run.stderr, method)
         np.testing.assert_allclose(my_mat, ref_mat, rtol=2e-5, err_msg=method)
         assert my_opt == ref_opt, method
+
+
+def test_json_report_and_cv_flags(tmp_path):
+    """--cv loo --json writes the structured report; LSO skipped."""
+    import json
+
+    out = tmp_path / "report.json"
+    r = run_cli(
+        str(REF / "toyX.csv"), str(REF / "toyY.csv"), "2",
+        "--cv", "loo", "--json", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "LSO Validation:" not in r.stderr
+    rep = json.loads(out.read_text())
+    assert rep["num_components"] == 2
+    assert rep["loo_optimal_components"] == [2, 1]
+    np_rmse = rep["loo_rmse"]
+    assert abs(np_rmse[0][0] - 0.791811) < 1e-4
+    assert "lso_rmse" not in rep
+
+
+def test_alpha_flag_changes_selection():
+    """The selector accepts a smaller model when its Wilcoxon p-value
+    exceeds α (pls.cpp:283).  α = 1e-9 makes every smaller candidate pass,
+    so the optimum collapses to 1 component for every response — a
+    different answer than the default α=0.1 run's (2, 1)."""
+    r = run_cli(
+        str(REF / "toyX.csv"), str(REF / "toyY.csv"), "2",
+        "--cv", "loo", "--alpha", "1e-9",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    block = r.stderr.split("LOO Validation:")[1]
+    opt = block.split("Optimal number of components (by Y variable):\t")[1]
+    vals = [int(v) for v in opt.strip().split("\n")[:2]]
+    assert vals == [1, 1]

@@ -1,0 +1,84 @@
+"""Resumable CV sweep tests (cv/resumable.py) and debug utilities."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pls_tpu as pt
+from pls_tpu.cv.resumable import ResumableCV
+from pls_tpu.utils.debug import assert_finite, debug_nans, fit_health
+from pls_tpu.utils.gcc_rng import GccRng
+
+
+class TestResumable:
+    def test_lso_ranges_equal_single_run(self, toy, tmp_path):
+        X, Y = toy
+        parts = GccRng().lso_partitions(10, 20)
+        runner = ResumableCV(str(tmp_path / "sweep"))
+        res = runner.run_lso(
+            jnp.asarray(X), jnp.asarray(Y), 2, 0.3, 20,
+            partitions=parts, range_size=8,
+        )
+        direct = pt.cv_lso(
+            jnp.asarray(X), jnp.asarray(Y), 2, 0.3, 20, partitions=parts
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.errors), np.asarray(direct.errors), atol=1e-12
+        )
+        assert runner.completed_ranges("lso") == [(0, 8), (8, 16), (16, 20)]
+
+    def test_lso_resume_skips_done_ranges(self, toy, tmp_path):
+        X, Y = toy
+        parts = GccRng().lso_partitions(10, 16)
+        runner = ResumableCV(str(tmp_path / "sweep"))
+        runner.run_lso(
+            jnp.asarray(X), jnp.asarray(Y), 2, 0.3, 16,
+            partitions=parts, range_size=8,
+        )
+        # corrupt a range file's content to a sentinel; resume must NOT
+        # recompute it (proves completed ranges are trusted)
+        path = runner._range_path("lso", 0, 8)
+        sentinel = np.full((2, 8 * 3, 2), 7.0)
+        np.savez(path, errors=sentinel)
+        res2 = runner.run_lso(
+            jnp.asarray(X), jnp.asarray(Y), 2, 0.3, 16,
+            partitions=parts, range_size=8,
+        )
+        np.testing.assert_array_equal(np.asarray(res2.errors)[:, :24], sentinel)
+
+    @pytest.mark.parametrize("downdate", [False, True])
+    def test_loo_ranges_equal_single_run(self, toy, tmp_path, downdate):
+        X, Y = toy
+        method = pt.KERNEL_TYPE2 if downdate else pt.KERNEL_TYPE1
+        runner = ResumableCV(str(tmp_path / f"loo{downdate}"))
+        res = runner.run_loo(
+            jnp.asarray(X), jnp.asarray(Y), 2,
+            range_size=4, method=method, downdate=downdate,
+        )
+        direct = pt.cv_loo(jnp.asarray(X), jnp.asarray(Y), 2, method)
+        np.testing.assert_allclose(
+            np.asarray(res.errors), np.asarray(direct.errors), atol=1e-9
+        )
+
+
+class TestDebug:
+    def test_assert_finite_raises(self):
+        with pytest.raises(FloatingPointError):
+            assert_finite({"a": jnp.asarray([1.0, jnp.nan])}, "x")
+        assert_finite({"a": jnp.asarray([1.0, 2.0])}, "x")  # no raise
+
+    def test_debug_nans_context(self):
+        import jax
+
+        with debug_nans():
+            assert jax.config.jax_debug_nans
+        assert not jax.config.jax_debug_nans
+
+    def test_fit_health(self, toy):
+        X, Y = toy
+        f = pt.fit(jnp.asarray(X), jnp.asarray(Y), 2)
+        h = fit_health(f)
+        assert h["finite"]
+        assert h["score_orthogonality_defect"] < 1e-10
+        assert h["ptw_diag_deviation"] < 1e-10
+        assert len(h["score_norms"]) == 2

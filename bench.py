@@ -71,26 +71,27 @@ def main() -> int:
     def _advance(p):
         return p * jax.lax.rsqrt(p @ p)
 
-    def run_chain(step_fn, iters):
+    def run_chain(step_fn, iters, operand):
         """Dispatch `iters` dependency-chained component updates, then force
         completion with one scalar readback.  Returns wall seconds."""
         t0 = time.perf_counter()
         r = r0
         tt = None
         for _ in range(iters):
-            t, tt, p = step_fn(X, r)
+            t, tt, p = step_fn(operand, r)
             r = _advance(p)
         float(tt)
         return time.perf_counter() - t0
 
-    def slope_time(pass_fn, label, short=5, long=25, reps=3):
+    def slope_time(pass_fn, label, short=5, long=25, reps=3, operand=None):
+        operand = X if operand is None else operand
         step = jax.jit(pass_fn)
         t0 = time.perf_counter()
-        run_chain(step, 1)  # compile both programs + first run
+        run_chain(step, 1, operand)  # compile both programs + first run
         log(f"{label} compile+first: {time.perf_counter()-t0:.1f}s")
         times = {}
         for iters in (short, long):
-            best = min(run_chain(step, iters) for _ in range(reps))
+            best = min(run_chain(step, iters, operand) for _ in range(reps))
             times[iters] = best
             log(f"{label} iters={iters}: best {best*1e3:.1f} ms")
         per = max((times[long] - times[short]) / (long - short), 1e-9)
@@ -110,6 +111,22 @@ def main() -> int:
             )
         except Exception as e:
             log(f"pallas failed: {e}")
+    if on_tpu and _HAS_PALLAS and "pallas_fused" in results:
+        # diagnostic only: bf16-X streaming halves HBM traffic again
+        # (counted at bf16 bytes, so the one-pass GB/s figure is comparable
+        # as *effective f32-equivalent* ~2x this number)
+        try:
+            Xb = X.astype(jnp.bfloat16)
+            per = slope_time(
+                lambda Xb, r: _deflate_pass_pallas(Xb, r),
+                "pallas_fused_bf16", operand=Xb,
+            )
+            log(
+                f"pallas bf16: {N*K*2/per/1e9:.1f} GB/s bf16-bytes "
+                f"({N*K*4/per/1e9:.1f} GB/s f32-equivalent one-pass)"
+            )
+        except Exception as e:
+            log(f"bf16 variant failed: {e}")
     if not results or (time.perf_counter() - start) < budget * 0.5:
         try:
             results["xla_two_pass"] = slope_time(deflate_pass_xla, "xla_two_pass")

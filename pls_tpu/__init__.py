@@ -46,6 +46,7 @@ from pls_tpu.ops.wilcoxon import wilcoxon
 from pls_tpu.models.kernel_pls import fit
 from pls_tpu.models.predict import (
     scores,
+    vip,
     loadings_x,
     loadings_y,
     coefficients,
@@ -70,6 +71,7 @@ from pls_tpu.cv.lso import cv_lso
 from pls_tpu.cv.newdata import cv_new_data
 from pls_tpu.model import PLSModel
 from pls_tpu.utils.io import read_matrix_file
+from pls_tpu.preprocess import ZScorer
 
 __version__ = "0.1.0"
 
@@ -111,5 +113,7 @@ __all__ = [
     "cv_new_data",
     "PLSModel",
     "read_matrix_file",
+    "vip",
+    "ZScorer",
     "__version__",
 ]

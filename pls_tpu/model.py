@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pls_tpu.cv.loo import cv_loo, cv_loo_downdate
-from pls_tpu.cv.lso import cv_lso, lso_sizes
+from pls_tpu.cv.lso import cv_lso
 from pls_tpu.cv.newdata import cv_new_data
 from pls_tpu.models import predict as _predict
 from pls_tpu.models.kernel_pls import fit as _fit

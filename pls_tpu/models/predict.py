@@ -82,6 +82,39 @@ def residuals_all_components(
     return Y_new[:, None, :] - fitted_cum
 
 
+def vip(
+    fit: PLSFit, X: jnp.ndarray | None = None, comp: int | None = None
+) -> jnp.ndarray:
+    """Variable Importance in Projection, (K,).
+
+    Not in the reference; the standard chemometrics screening statistic:
+        VIPⱼ = sqrt( K · Σₐ SSYₐ (wⱼₐ/‖wₐ‖)² / Σₐ SSYₐ ),
+    with SSYₐ = ‖qₐ‖² tₐᵀtₐ the Y-variance captured by component a
+    (our Q columns are regression loadings: Ŷ = Σ tₐ qₐᵀ).  Mean of VIP²
+    is 1 by construction; variables with VIP < 1 are candidates to drop.
+
+    Needs the scores T; for fits without stored T (KERNEL_TYPE2 /
+    from-stats) pass the training X so T = X R can be formed.
+    """
+    comp = fit.A if comp is None else comp
+    if fit.T.size:
+        T = fit.T[:, :comp]
+    else:
+        if X is None:
+            raise ValueError(
+                "fit has no stored scores (type-2/from-stats); pass X"
+            )
+        T = X @ fit.R[:, :comp]
+    tt = jnp.sum(T * T, axis=0)  # (comp,)
+    qq = jnp.sum(fit.Q[:, :comp] ** 2, axis=0)  # (comp,)
+    ssy = tt * qq
+    W = fit.W[:, :comp]
+    wnorm2 = jnp.sum(W * W, axis=0)
+    frac = (W * W) / wnorm2[None, :]
+    K = fit.K
+    return jnp.sqrt(K * (frac @ ssy) / jnp.sum(ssy))
+
+
 def sse(
     fit: PLSFit, X_new: jnp.ndarray, Y_new: jnp.ndarray, comp: int | None = None
 ) -> jnp.ndarray:

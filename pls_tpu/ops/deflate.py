@@ -78,9 +78,14 @@ def _kernel(x_ref, r_ref, t_ref, p_ref, tt_ref, p_acc, tt_acc):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False):
+    """X may be float32 or bfloat16 (bf16 halves HBM traffic again; the
+    MXU accumulates in f32 either way).  t/tt/p are always float32."""
     N, K = X.shape
     dtype = X.dtype
+    acc = jnp.float32
     tn = _row_tile(K, dtype.itemsize)
+    if dtype.itemsize < 4:
+        tn = max(16, (tn // 16) * 16)  # bf16 sublane tiling multiple
     pad = (-N) % tn
     if pad:
         X = jnp.concatenate([X, jnp.zeros((pad, K), dtype)])
@@ -100,9 +105,9 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
             pl.BlockSpec(memory_space=pltpu.SMEM if not interpret else pl.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), dtype),
-            jax.ShapeDtypeStruct((K, 1), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((n_pad, 1), acc),
+            jax.ShapeDtypeStruct((K, 1), acc),
+            jax.ShapeDtypeStruct((1, 1), acc),
         ],
         scratch_shapes=[
             pltpu.VMEM((K, 1), jnp.float32),
@@ -114,7 +119,7 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
             bytes_accessed=n_pad * K * dtype.itemsize,
             transcendentals=0,
         ),
-    )(X, r[:, None])
+    )(X, r[:, None].astype(dtype))
     return t[:N, 0], tt[0, 0], p[:, 0]
 
 

@@ -119,15 +119,25 @@ def main() -> int:
     float(jnp.sum(r.errors * r.errors))
     log(f"fold-batch compile+first: {time.perf_counter()-t0:.1f}s")
 
-    t0 = time.perf_counter()
-    loo = cv_loo_from_stats(
-        XX, XY, fold_X, fold_Y, A,
-        batch_size=args.fold_batch, precision=None, power_iters=16,
-    )
-    press = float(jnp.sum(loo.errors * loo.errors))
-    t_loo = time.perf_counter() - t0
+    def run_loo(f_count):
+        t0 = time.perf_counter()
+        loo = cv_loo_from_stats(
+            XX, XY, fold_X[:f_count], fold_Y[:f_count], A,
+            batch_size=args.fold_batch, precision=None, power_iters=16,
+        )
+        press = float(jnp.sum(loo.errors * loo.errors))
+        return time.perf_counter() - t0, press
+
+    half = (F // 2 // args.fold_batch) * args.fold_batch or args.fold_batch
+    t_half, _ = run_loo(half)
+    t_loo, press = run_loo(F)
     fits_per_sec = F / t_loo
-    log(f"{F}-fold LOO: {t_loo:.2f}s -> {fits_per_sec:.1f} fits/s (PRESS={press:.1f})")
+    # slope between the two fold counts cancels per-dispatch constants
+    # (relay RTT etc.), estimating the pure device fold rate
+    device_rate = (F - half) / max(t_loo - t_half, 1e-9)
+    log(f"{F}-fold LOO: {t_loo:.2f}s wall -> {fits_per_sec:.1f} fits/s "
+        f"(slope estimate {device_rate:.0f} fits/s device-rate; "
+        f"PRESS={press:.1f})")
 
     print(json.dumps({
         "backend": backend,
@@ -136,6 +146,7 @@ def main() -> int:
         "x_throughput_gbps": round(rows_done * K * 4 / t_stats / 1e9, 2),
         "loo_sec": round(t_loo, 3),
         "loo_fits_per_sec": round(fits_per_sec, 2),
+        "loo_fits_per_sec_device_slope": round(device_rate, 2),
     }))
     return 0
 

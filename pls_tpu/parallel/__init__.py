@@ -12,6 +12,7 @@ batches sharded across chips.
 from pls_tpu.parallel.mesh import make_pls_mesh, initialize_distributed
 from pls_tpu.parallel.sharded import (
     fit_sharded,
+    cv_loo_sharded,
     fit_rowsharded_shardmap,
     cv_lso_sharded,
     train_step,
@@ -23,5 +24,6 @@ __all__ = [
     "fit_sharded",
     "fit_rowsharded_shardmap",
     "cv_lso_sharded",
+    "cv_loo_sharded",
     "train_step",
 ]

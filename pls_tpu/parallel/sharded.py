@@ -187,6 +187,50 @@ def cv_lso_sharded(
     )
 
 
+def cv_loo_sharded(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    mesh: Mesh,
+    precision: str | None = "highest",
+) -> Residual:
+    """LOO CV with the fold axis sharded over mesh axis 'folds'.
+
+    X/Y replicated per device; the N fold fits split across devices as a
+    sharded vmap (appropriate when X fits per-device; for huge designs use
+    cv_loo_from_stats on psum'd statistics instead).  N must divide evenly
+    over the 'folds' axis size.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N = X.shape[0]
+
+    rep = NamedSharding(mesh, P())
+    Xr = jax.device_put(X, rep)
+    Yr = jax.device_put(Y, rep)
+    idx = jax.device_put(
+        jnp.arange(N), NamedSharding(mesh, P("folds"))
+    )
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P(None, "folds")))
+    def _cv(Xr, Yr, idx):
+        def fold(i):
+            mask = (jnp.arange(N) != i).astype(Xr.dtype)
+            f = fit(Xr, Yr, A, method, row_mask=mask, precision=precision)
+            return residuals_all_components(
+                f, Xr[i][None, :], Yr[i][None, :]
+            )[0]  # (A, M)
+
+        errs = jax.vmap(fold)(idx)  # (N, A, M)
+        return jnp.transpose(errs, (2, 0, 1))  # (M, N, A)
+
+    return Residual(errors=_cv(Xr, Yr, idx), method="LOO")
+
+
 def train_step(
     X: jnp.ndarray,
     Y: jnp.ndarray,

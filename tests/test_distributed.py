@@ -128,3 +128,16 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedLOO:
+    def test_loo_sharded_equals_local(self, data):
+        from pls_tpu.parallel import cv_loo_sharded
+
+        X, Y = data
+        mesh = make_pls_mesh(rows=1, folds=8)
+        sh = cv_loo_sharded(X, Y, 4, mesh=mesh)
+        local = pt.cv_loo(X, Y, 4)
+        np.testing.assert_allclose(
+            np.asarray(sh.errors), np.asarray(local.errors), atol=1e-10
+        )

@@ -128,16 +128,32 @@ def main() -> int:
         press = float(jnp.sum(loo.errors * loo.errors))
         return time.perf_counter() - t0, press
 
-    half = (F // 2 // args.fold_batch) * args.fold_batch or args.fold_batch
-    t_half, _ = run_loo(half)
-    t_loo, press = run_loo(F)
+    half = (F // 2 // args.fold_batch) * args.fold_batch
+    device_rate = None
+    if 0 < half < F:
+        # warm BOTH chain lengths first: lax.map bakes the scan trip count
+        # per fold count, so each length is a distinct program whose
+        # compile must not leak into the timed slope
+        run_loo(half)
+        run_loo(F)
+        t_half, _ = run_loo(half)
+        t_loo, press = run_loo(F)
+        delta = t_loo - t_half
+        if delta > 0:
+            # slope between the two fold counts cancels per-dispatch
+            # constants (relay RTT etc.) -> pure device fold rate
+            device_rate = (F - half) / delta
+        else:
+            log("slope estimate skipped: non-positive timing delta "
+                f"({delta*1e3:.1f} ms) — timing noise exceeded device work")
+    else:
+        t_loo, press = run_loo(F)
+        log(f"slope estimate skipped: folds={F} too small vs "
+            f"fold_batch={args.fold_batch}")
     fits_per_sec = F / t_loo
-    # slope between the two fold counts cancels per-dispatch constants
-    # (relay RTT etc.), estimating the pure device fold rate
-    device_rate = (F - half) / max(t_loo - t_half, 1e-9)
+    rate_txt = f"{device_rate:.0f}" if device_rate else "n/a"
     log(f"{F}-fold LOO: {t_loo:.2f}s wall -> {fits_per_sec:.1f} fits/s "
-        f"(slope estimate {device_rate:.0f} fits/s device-rate; "
-        f"PRESS={press:.1f})")
+        f"(slope estimate {rate_txt} fits/s device-rate; PRESS={press:.1f})")
 
     print(json.dumps({
         "backend": backend,
@@ -146,7 +162,7 @@ def main() -> int:
         "x_throughput_gbps": round(rows_done * K * 4 / t_stats / 1e9, 2),
         "loo_sec": round(t_loo, 3),
         "loo_fits_per_sec": round(fits_per_sec, 2),
-        "loo_fits_per_sec_device_slope": round(device_rate, 2),
+        "loo_fits_per_sec_device_slope": round(device_rate, 2) if device_rate else None,
     }))
     return 0
 

@@ -32,6 +32,31 @@ from pls_tpu.models.predict import residuals_all_components
 from pls_tpu.types import METHOD, Residual
 
 
+def make_loo_fold_fn(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+):
+    """Fold body shared by every LOO flavor (local, sharded, resumable):
+    given a row index, fit with that row masked out and return its
+    residuals under every component truncation, shape (A, M)."""
+    N = X.shape[0]
+
+    def fold(i):
+        mask = (jnp.arange(N) != i).astype(X.dtype)
+        f = fit(
+            X, Y, A, method,
+            row_mask=mask, power_iters=power_iters, precision=precision,
+        )
+        return residuals_all_components(f, X[i][None, :], Y[i][None, :])[0]
+
+    return fold
+
+
 def cv_loo(
     X: jnp.ndarray,
     Y: jnp.ndarray,
@@ -51,15 +76,9 @@ def cv_loo(
     if batch_size is None:
         batch_size = min(N, 64)
 
-    def fold(i):
-        mask = (jnp.arange(N) != i).astype(X.dtype)
-        f = fit(
-            X, Y, A, method,
-            row_mask=mask, power_iters=power_iters, precision=precision,
-        )
-        res = residuals_all_components(f, X[i][None, :], Y[i][None, :])  # (1, A, M)
-        return res[0]  # (A, M)
-
+    fold = make_loo_fold_fn(
+        X, Y, A, method, power_iters=power_iters, precision=precision
+    )
     errs = padded_map(fold, jnp.arange(N), batch_size)  # (N, A, M)
     return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="LOO")
 

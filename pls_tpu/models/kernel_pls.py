@@ -198,7 +198,9 @@ def _fit_kernel(
             Rb = Rb.at[a].set(r)
             return (XY, Pb, Rb), (w, q, t)
 
-        zbuf = jnp.zeros((A, K), dtype)
+        # derive the zero buffers from the data so their device-varying
+        # status matches the carry updates under shard_map manual axes
+        zbuf = jnp.zeros((A, K), dtype) + XY0[0, 0] * 0
         (XYf, Pb, Rb), (Ws, Qs, Ts) = jax.lax.scan(
             step, (XY0, zbuf, zbuf), jnp.arange(A)
         )
@@ -245,7 +247,8 @@ def _kernel2_scan(matvec, XY, A, K, dtype, power_iters, precision) -> PLSFit:
             Rb = Rb.at[a].set(r)
             return (XYc, Pb, Rb), (w, q)
 
-        zbuf = jnp.zeros((A, K), dtype)
+        # data-derived zeros: see _fit_kernel (shard_map varying-axis match)
+        zbuf = jnp.zeros((A, K), dtype) + XY[0, 0] * 0
         (_, Pb, Rb), (Ws, Qs) = jax.lax.scan(step, (XY, zbuf, zbuf), jnp.arange(A))
 
     return PLSFit(

@@ -73,7 +73,8 @@ def fit_simpls(
             Vb = Vb.at[a].set(v)
             return (S, Vb), (r, p, q, t)
 
-        zbuf = jnp.zeros((A, K), dtype)
+        # data-derived zeros: see kernel_pls._fit_kernel (shard_map varying axes)
+        zbuf = jnp.zeros((A, K), dtype) + S0[0, 0] * 0
         (_, _), (Rs, Ps, Qs, Ts) = jax.lax.scan(step, (S0, zbuf), jnp.arange(A))
 
     R = Rs.T

@@ -161,6 +161,12 @@ def cv_lso_sharded(
     N = X.shape[0]
     num_trials = partitions.shape[0]
     test_size = N - train_size
+    n_folds_axis = mesh.shape["folds"]
+    if num_trials % n_folds_axis:
+        raise ValueError(
+            f"cv_lso_sharded: num_trials={num_trials} must divide evenly "
+            f"over the 'folds' mesh axis (size {n_folds_axis})"
+        )
 
     parts_sh = NamedSharding(mesh, P("folds", None))
     rep = NamedSharding(mesh, P())
@@ -194,41 +200,50 @@ def cv_loo_sharded(
     method: METHOD = METHOD.KERNEL_TYPE1,
     *,
     mesh: Mesh,
+    batch_size: int | None = None,
+    power_iters: int | None = None,
     precision: str | None = "highest",
 ) -> Residual:
     """LOO CV with the fold axis sharded over mesh axis 'folds'.
 
-    X/Y replicated per device; the N fold fits split across devices as a
-    sharded vmap (appropriate when X fits per-device; for huge designs use
-    cv_loo_from_stats on psum'd statistics instead).  N must divide evenly
-    over the 'folds' axis size.
+    X/Y replicated per device; each device runs its N/devices folds in
+    `batch_size` chunks (same memory bound as the local cv_loo — a masked
+    X copy exists per *in-flight* fold, not per fold).  Appropriate when X
+    fits per-device; for huge designs use cv_loo_from_stats on psum'd
+    statistics instead.  N must divide evenly over the 'folds' axis size.
     """
+    from pls_tpu.cv.loo import make_loo_fold_fn
+    from pls_tpu.utils.batching import padded_map
+
     X = jnp.asarray(X)
     Y = jnp.asarray(Y)
     if Y.ndim == 1:
         Y = Y[:, None]
     N = X.shape[0]
+    n_folds_axis = mesh.shape["folds"]
+    if N % n_folds_axis:
+        raise ValueError(
+            f"cv_loo_sharded: N={N} must divide evenly over the 'folds' "
+            f"mesh axis (size {n_folds_axis}); pad the data or use cv_loo"
+        )
+    if batch_size is None:
+        batch_size = min(N // n_folds_axis, 64)
 
-    rep = NamedSharding(mesh, P())
-    Xr = jax.device_put(X, rep)
-    Yr = jax.device_put(Y, rep)
-    idx = jax.device_put(
-        jnp.arange(N), NamedSharding(mesh, P("folds"))
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("folds")),
+        out_specs=P(None, "folds", None),
     )
+    def _cv(Xr, Yr, idx_local):
+        fold = make_loo_fold_fn(
+            Xr, Yr, A, method, power_iters=power_iters, precision=precision
+        )
+        errs = padded_map(fold, idx_local, batch_size)  # (N/D, A, M)
+        return jnp.transpose(errs, (2, 0, 1))  # (M, N/D, A)
 
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P(None, "folds")))
-    def _cv(Xr, Yr, idx):
-        def fold(i):
-            mask = (jnp.arange(N) != i).astype(Xr.dtype)
-            f = fit(Xr, Yr, A, method, row_mask=mask, precision=precision)
-            return residuals_all_components(
-                f, Xr[i][None, :], Yr[i][None, :]
-            )[0]  # (A, M)
-
-        errs = jax.vmap(fold)(idx)  # (N, A, M)
-        return jnp.transpose(errs, (2, 0, 1))  # (M, N, A)
-
-    return Residual(errors=_cv(Xr, Yr, idx), method="LOO")
+    errors = jax.jit(_cv)(X, Y, jnp.arange(N))
+    return Residual(errors=errors, method="LOO")
 
 
 def train_step(

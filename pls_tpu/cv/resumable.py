@@ -108,27 +108,18 @@ class ResumableCV:
                     batch_size=batch_size, **kw,
                 )
             else:
-                # masked-vmap LOO over a fold subrange: reuse the full-N
-                # mask machinery with explicit indices
-                import jax
+                # masked-vmap LOO over a fold subrange: the shared fold
+                # body with explicit indices
                 import jax.numpy as jnp
 
-                from pls_tpu.models.kernel_pls import fit as _fit
-                from pls_tpu.models.predict import residuals_all_components
+                from pls_tpu.cv.loo import make_loo_fold_fn
                 from pls_tpu.utils.batching import padded_map
 
                 Xj = jnp.asarray(X)
                 Yj = jnp.asarray(Y)
                 if Yj.ndim == 1:
                     Yj = Yj[:, None]
-
-                def fold(i):
-                    mask = (jnp.arange(N) != i).astype(Xj.dtype)
-                    f = _fit(Xj, Yj, A, method, row_mask=mask, **kw)
-                    return residuals_all_components(
-                        f, Xj[i][None, :], Yj[i][None, :]
-                    )[0]
-
+                fold = make_loo_fold_fn(Xj, Yj, A, method, **kw)
                 errs = padded_map(
                     fold, jnp.arange(start, stop), batch_size or 64
                 )

@@ -103,12 +103,16 @@ def fit(
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
         if use_pallas is None:
-            use_pallas = False  # auto-dispatch decided inside deflate_pass
             from pls_tpu.ops.deflate import _HAS_PALLAS, _row_tile
 
+            # Auto-enable only for direct (eager) fits: under vmap/jit
+            # tracing (X is a Tracer) the caller is typically a batched CV
+            # sweep, where the kernel's batching behavior is not the
+            # default we want — pass use_pallas=True explicitly to opt in.
             use_pallas = (
                 method == METHOD.KERNEL_TYPE1
                 and _HAS_PALLAS
+                and not isinstance(X, jax.core.Tracer)
                 and jax.default_backend() not in ("cpu",)
                 and _row_tile(K, X.dtype.itemsize) >= 8
                 and X.dtype == jnp.float32

@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--json", metavar="PATH", default=None,
                    help="also write a structured JSON report")
+    p.add_argument(
+        "--format", choices=["real", "eigen-complex"], default="real",
+        dest="fmt",
+        help="matrix rendering in print_state: real numbers (default) or "
+        "the reference's Eigen complex '(re,0)' tuples for byte diffing",
+    )
     return p
 
 
@@ -117,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
         alpha=args.alpha,
         json_out=args.json,
+        complex_format=(args.fmt == "eigen-complex"),
     )
 
     try:

@@ -29,6 +29,7 @@ class PLSRunConfig:
     seed: int | None = None  # None = 5489 (gcc) / 0 (jax)
     alpha: float = 0.1  # Wilcoxon selector level (pls.h:152)
     json_out: str | None = None
+    complex_format: bool = False  # Eigen '(re,0)' tuples for byte diffing
     extra: dict = field(default_factory=dict)
 
 
@@ -58,7 +59,7 @@ def run_pipeline(cfg: PLSRunConfig, *, file=None) -> dict:
     Y = colwise_z_scores(jnp.asarray(read_matrix_file(cfg.y_file), dtype))
 
     model = PLSModel(X, Y, cfg.method, cfg.num_components)
-    model.print_state(file=file)
+    model.print_state(file=file, complex_format=cfg.complex_format)
     model.print_explained_variance(X, Y, file=file)
 
     report: dict = {

@@ -244,9 +244,14 @@ class PLSModel:
                 file=file,
             )
 
-    def print_state(self, file=None) -> None:
-        from pls_tpu.utils.reporting import format_eigen
+    def print_state(self, file=None, complex_format: bool = False) -> None:
+        """Dump P/W/R/Q/T/coefficients (reference pls.cpp:564-580).
 
+        complex_format=True renders entries as Eigen complex tuples
+        '(re,0)' for byte-level diffing against the reference CLI."""
+        from pls_tpu.utils.reporting import format_eigen, format_eigen_complex
+
+        fmt = format_eigen_complex if complex_format else format_eigen
         file = sys.stderr if file is None else file
         for label, mat in [
             ("P", self.P), ("W", self.W), ("R", self.R), ("Q", self.Q),
@@ -254,7 +259,7 @@ class PLSModel:
         ]:
             print(f"{label}:", file=file)
             if mat.size:
-                print(format_eigen(np.asarray(mat)), file=file)
+                print(fmt(np.asarray(mat)), file=file)
             else:
                 print("", file=file, end="")
 

@@ -177,3 +177,29 @@ def test_alpha_flag_changes_selection():
     opt = block.split("Optimal number of components (by Y variable):\t")[1]
     vals = [int(v) for v in opt.strip().split("\n")[:2]]
     assert vals == [1, 1]
+
+
+def test_eigen_complex_format_byte_parity_nir():
+    """--format eigen-complex reproduces the reference CLI's state dump
+    BYTE-FOR-BYTE on nir (M=1: no eigenvector sign ambiguity) — 1671
+    lines of P/W/R/Q/T/coefficients in Eigen's complex-tuple layout."""
+    r = run_cli(
+        str(REF / "nir.csv"), str(REF / "octane.csv"), "10",
+        "--cv", "none", "--format", "eigen-complex",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    def state_block(text):
+        lines = text.split("\n")
+        start = lines.index("P:")
+        end = next(i for i, l in enumerate(lines) if "components explained" in l)
+        return lines[start:end]
+
+    ref = state_block((GOLDEN / "nir_cli_stderr.txt").read_text())
+    mine = state_block(
+        "\n".join(
+            l for l in r.stderr.split("\n")
+            if "WARNING" not in l and "cpu_aot" not in l and not l.startswith("E0")
+        )
+    )
+    assert mine == ref

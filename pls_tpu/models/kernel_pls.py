@@ -103,20 +103,14 @@ def fit(
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
         if use_pallas is None:
-            from pls_tpu.ops.deflate import _HAS_PALLAS, _row_tile
-
-            # Auto-enable only for direct (eager) fits: under vmap/jit
-            # tracing (X is a Tracer) the caller is typically a batched CV
-            # sweep, where the kernel's batching behavior is not the
-            # default we want — pass use_pallas=True explicitly to opt in.
-            use_pallas = (
-                method == METHOD.KERNEL_TYPE1
-                and _HAS_PALLAS
-                and not isinstance(X, jax.core.Tracer)
-                and jax.default_backend() not in ("cpu",)
-                and _row_tile(K, X.dtype.itemsize) >= 8
-                and X.dtype == jnp.float32
-            )
+            # Opt-in (pass use_pallas=True): the fused kernel halves the
+            # fit's HBM traffic and is validated in interpret mode and as
+            # a standalone pass on hardware (bench.py: 706 GB/s), but
+            # embedding pallas_call inside the component scan makes some
+            # remote-compile TPU setups pathologically slow to compile —
+            # too risky for a silent default.  The standalone pass
+            # (ops/deflate.deflate_pass) auto-dispatches independently.
+            use_pallas = False
         return _fit_kernel(
             X, Y, A, type1=(method == METHOD.KERNEL_TYPE1),
             power_iters=power_iters, precision=precision,

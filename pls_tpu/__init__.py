@@ -72,6 +72,7 @@ from pls_tpu.cv.newdata import cv_new_data
 from pls_tpu.model import PLSModel
 from pls_tpu.utils.io import read_matrix_file
 from pls_tpu.preprocess import ZScorer
+from pls_tpu.estimator import PLSRegressor
 
 __version__ = "0.1.0"
 
@@ -115,5 +116,6 @@ __all__ = [
     "read_matrix_file",
     "vip",
     "ZScorer",
+    "PLSRegressor",
     "__version__",
 ]

@@ -1,0 +1,74 @@
+"""Sklearn-protocol estimator tests (pls_tpu/estimator.py)."""
+
+import numpy as np
+import pytest
+
+import pls_tpu as pt
+from pls_tpu.estimator import PLSRegressor
+
+
+@pytest.fixture(scope="module")
+def raw_nir():
+    from pls_tpu import datasets
+
+    return datasets.load_nir()
+
+
+def test_fit_predict_score(raw_nir):
+    X, y = raw_nir
+    est = PLSRegressor(n_components=5).fit(X, y)
+    assert est.coef_.shape == (401, 1)
+    pred = est.predict(X)
+    assert pred.shape == (60, 1)
+    # raw-unit predictions: mean near the octane mean, high train R²
+    assert abs(pred.mean() - y.mean()) < 0.5
+    assert est.score(X, y) > 0.97
+
+
+def test_matches_manual_pipeline(raw_nir):
+    """Estimator == z-score both → fit → predict → inverse, the reference
+    CLI convention."""
+    import jax.numpy as jnp
+
+    X, y = raw_nir
+    est = PLSRegressor(n_components=3).fit(X, y)
+    zx, zy = pt.ZScorer.fit(X), pt.ZScorer.fit(y)
+    f = pt.fit(zx.transform(X), zy.transform(y), 3)
+    manual = np.asarray(zy.inverse(pt.fitted_values(f, zx.transform(X))))
+    np.testing.assert_allclose(est.predict(X), manual, atol=1e-9)
+
+
+def test_transform_scores(raw_nir):
+    X, y = raw_nir
+    est = PLSRegressor(n_components=4).fit(X, y)
+    T = est.transform(X)
+    assert T.shape == (60, 4)
+    # type-1 scores are orthogonal
+    G = T.T @ T
+    off = np.abs(G - np.diag(np.diag(G))).max()
+    assert off < 1e-6 * np.diag(G).max()
+
+
+def test_params_protocol():
+    est = PLSRegressor(n_components=7)
+    p = est.get_params()
+    assert p["n_components"] == 7
+    est.set_params(n_components=3, method=pt.SIMPLS)
+    assert est.n_components == 3 and est.method is pt.SIMPLS
+    with pytest.raises(ValueError):
+        est.set_params(bogus=1)
+
+
+def test_vip_property(raw_nir):
+    X, y = raw_nir
+    est = PLSRegressor(n_components=3).fit(X, y)
+    v = est.vip_
+    assert v.shape == (401,)
+    np.testing.assert_allclose(np.mean(v**2), 1.0, rtol=1e-6)
+
+
+def test_unscaled_mode(raw_nir):
+    X, y = raw_nir
+    est = PLSRegressor(n_components=3, scale=False).fit(X, y)
+    # without internal scaling the estimator works in raw space directly
+    assert est.predict(X).shape == (60, 1)

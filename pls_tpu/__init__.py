@@ -61,6 +61,7 @@ from pls_tpu.cv.validation import (
     print_validation,
     q_squared,
     rmsep,
+    compare_models,
 )
 from pls_tpu.cv.bootstrap import (
     bootstrap_coefficients,
@@ -107,6 +108,7 @@ __all__ = [
     "print_validation",
     "q_squared",
     "rmsep",
+    "compare_models",
     "bootstrap_coefficients",
     "bootstrap_coefficient_intervals",
     "cv_loo",

@@ -62,6 +62,26 @@ def optimal_num_components(residual: Residual, alpha: float = 0.1) -> jnp.ndarra
     return jax.vmap(per_y)(press, errs)
 
 
+def compare_models(
+    residual_1: Residual, residual_2: Residual, comp_1: int, comp_2: int
+) -> jnp.ndarray:
+    """One-sided Wilcoxon p-values comparing two CV error sets, per
+    response: P{model 1 (at comp_1 components) is NOT better than model 2
+    (at comp_2)} — small values favor model 1.
+
+    This is the general form of the Thomas (2003) comparison the
+    reference embeds inside optimal_num_components (pls.cpp:283): the
+    same machinery exposed for comparing *different* models (e.g. NIPALS
+    vs SIMPLS, or different preprocessing) on matched CV partitions.
+    Both residuals must cover the same observations in the same order.
+    """
+    if residual_1.n_obs != residual_2.n_obs or residual_1.M != residual_2.M:
+        raise ValueError("residual sets must cover the same observations")
+    e1 = residual_1.errors[:, :, comp_1 - 1]  # (M, n_obs)
+    e2 = residual_2.errors[:, :, comp_2 - 1]
+    return jax.vmap(wilcoxon)(e1, e2)
+
+
 def q_squared(residual: Residual, Y: jnp.ndarray) -> jnp.ndarray:
     """Q² = 1 − PRESS/SST per (response, component count) — the standard
     cross-validated R² of chemometrics (derived metric the reference

@@ -97,3 +97,53 @@ class TestCVWithVariants:
         np.testing.assert_allclose(
             np.asarray(loo_v.errors), np.asarray(loo_k.errors), atol=1e-6
         )
+
+
+class TestMultiYAgreement:
+    """BASELINE.json config #3: SIMPLS vs NIPALS agreement on
+    multi-response data."""
+
+    @pytest.fixture(scope="class")
+    def multi_y(self):
+        rng = np.random.default_rng(11)
+        N, K, M = 80, 30, 4
+        X = rng.normal(size=(N, K))
+        B = rng.normal(size=(K, M)) / np.sqrt(K)
+        Y = X @ B + 0.05 * rng.normal(size=(N, M))
+        # z-score as the reference pipeline does
+        X = (X - X.mean(0)) / X.std(0, ddof=1)
+        Y = (Y - Y.mean(0)) / Y.std(0, ddof=1)
+        return jnp.asarray(X), jnp.asarray(Y)
+
+    def test_predictions_agree(self, multi_y):
+        X, Y = multi_y
+        A = 6
+        fn = pt.fit(X, Y, A, pt.NIPALS)
+        fs = pt.fit(X, Y, A, pt.SIMPLS)
+        fk = pt.fit(X, Y, A, pt.KERNEL_TYPE1)
+        yn = np.asarray(pt.fitted_values(fn, X))
+        ys = np.asarray(pt.fitted_values(fs, X))
+        yk = np.asarray(pt.fitted_values(fk, X))
+        scale = np.abs(yk).max()
+        # all three variants capture the same signal on well-conditioned data
+        assert np.abs(yn - yk).max() / scale < 0.05
+        assert np.abs(ys - yk).max() / scale < 0.05
+
+    def test_cv_model_comparison(self, multi_y):
+        """compare_models on matched LOO partitions: valid p-values with
+        the Wilcoxon antisymmetry p(1 vs 2) + p(2 vs 1) == 1, and the
+        self-comparison at 0.5.  (On this data the comparison genuinely
+        detects SIMPLS beating kernel-PLS2 on one response — PLS2
+        variants are NOT equivalent for M > 1.)"""
+        from pls_tpu.cv.validation import compare_models
+
+        X, Y = multi_y
+        loo_k = pt.cv_loo(X, Y, 4, pt.KERNEL_TYPE1)
+        loo_s = pt.cv_loo(X, Y, 4, pt.SIMPLS)
+        p12 = np.asarray(compare_models(loo_k, loo_s, 4, 4))
+        p21 = np.asarray(compare_models(loo_s, loo_k, 4, 4))
+        assert p12.shape == (4,)
+        assert np.all((p12 >= 0) & (p12 <= 1))
+        np.testing.assert_allclose(p12 + p21, 1.0, atol=1e-6)
+        p_self = np.asarray(compare_models(loo_k, loo_k, 4, 4))
+        np.testing.assert_allclose(p_self, 0.5, atol=1e-9)

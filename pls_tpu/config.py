@@ -62,13 +62,14 @@ def run_pipeline(cfg: PLSRunConfig, *, file=None) -> dict:
     model.print_state(file=file, complex_format=cfg.complex_format)
     model.print_explained_variance(X, Y, file=file)
 
+    _, ev_profile = model.explained_variance_profile()  # one residual pass
     report: dict = {
         "method": cfg.method.value,
         "num_components": model.A,
         "dtype": dtype_name,
         "alpha": cfg.alpha,
         "explained_variance": {
-            str(c): np.asarray(model.explained_variance(comp=c)).tolist()
+            str(c): np.asarray(ev_profile[c - 1]).tolist()
             for c in range(1, model.A + 1)
         },
     }

@@ -43,6 +43,16 @@ class ResumableCV:
         np.savez(tmp, errors=errors)
         os.replace(tmp, path)  # atomic publish
 
+    @staticmethod
+    def _parse_range(path: Path) -> tuple[int, int] | None:
+        """(start, stop) for a completed-range file; None for anything
+        else (in particular orphaned *.tmp.npz files left by a crash
+        between savez and the atomic rename)."""
+        parts = path.stem.split("_")
+        if len(parts) != 3 or not (parts[1].isdigit() and parts[2].isdigit()):
+            return None
+        return int(parts[1]), int(parts[2])
+
     def run_lso(
         self,
         X,
@@ -134,6 +144,16 @@ class ResumableCV:
     def completed_ranges(self, kind: str) -> list[tuple[int, int]]:
         out = []
         for p in sorted(self.dir.glob(f"{kind}_*.npz")):
-            parts = p.stem.split("_")
-            out.append((int(parts[1]), int(parts[2])))
+            r = self._parse_range(p)
+            if r is not None:
+                out.append(r)
         return out
+
+    def clean_orphans(self) -> int:
+        """Remove *.tmp.npz files left by a crash mid-save; returns count.
+        Safe to call any time — completed ranges are never touched."""
+        n = 0
+        for p in self.dir.glob("*.tmp.npz"):
+            p.unlink()
+            n += 1
+        return n

@@ -1,4 +1,5 @@
-"""Bundled datasets (vendored from the reference repository's data files;
+"""Bundled datasets (vendored data files from the reference repository,
+installed as package data;
 SURVEY.md §2 #27):
 
 - toy:    10×15 X, 10×2 Y — the reference README's smoke-test pair.
@@ -17,7 +18,7 @@ import numpy as np
 
 from pls_tpu.utils.io import read_matrix_file
 
-_DATA = Path(__file__).resolve().parent.parent / "data"
+_DATA = Path(__file__).resolve().parent / "data"
 
 
 def load_toy() -> tuple[np.ndarray, np.ndarray]:

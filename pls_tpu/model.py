@@ -127,6 +127,14 @@ class PLSModel:
             power_iters=self._power_iters, precision=self._precision,
         )
 
+    @staticmethod
+    def _as_col(Y) -> jnp.ndarray:
+        """Promote 1-D response vectors to (n, 1) columns — the convention
+        __init__ uses (atleast_2d would produce a (1, n) row, silently
+        broadcasting residuals into an (n, n) matrix)."""
+        Y = jnp.asarray(Y)
+        return Y[:, None] if Y.ndim == 1 else Y
+
     # ---------- prediction / diagnostics ----------
     def scores(self, X_new=None, comp: int | None = None) -> jnp.ndarray:
         X_new = self._X if X_new is None else jnp.asarray(X_new)
@@ -147,24 +155,31 @@ class PLSModel:
 
     def residuals(self, X_new=None, Y_new=None, comp: int | None = None) -> jnp.ndarray:
         X_new = self._X if X_new is None else jnp.asarray(X_new)
-        Y_new = self._Y if Y_new is None else jnp.atleast_2d(jnp.asarray(Y_new))
+        Y_new = self._Y if Y_new is None else self._as_col(Y_new)
         return _predict.residuals(self._fit, X_new, Y_new, comp)
 
     def SSE(self, X_new=None, Y_new=None, comp: int | None = None) -> jnp.ndarray:
         X_new = self._X if X_new is None else jnp.asarray(X_new)
-        Y_new = self._Y if Y_new is None else jnp.atleast_2d(jnp.asarray(Y_new))
+        Y_new = self._Y if Y_new is None else self._as_col(Y_new)
         return _predict.sse(self._fit, X_new, Y_new, comp)
 
     def explained_variance(
         self, X_new=None, Y_new=None, comp: int | None = None
     ) -> jnp.ndarray:
         X_new = self._X if X_new is None else jnp.asarray(X_new)
-        Y_new = self._Y if Y_new is None else jnp.atleast_2d(jnp.asarray(Y_new))
+        Y_new = self._Y if Y_new is None else self._as_col(Y_new)
         return _predict.explained_variance(self._fit, X_new, Y_new, comp)
 
     # ---------- cross-validation ----------
     def cv_LOO(self, *, batch_size: int | None = None, downdate: bool = False) -> Residual:
         if downdate:
+            if self._method not in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
+                raise ValueError(
+                    "downdate LOO computes the kernel-PLS model from "
+                    "X'X/X'Y statistics; it would silently cross-validate "
+                    f"a different model than {self._method} — use "
+                    "cv_LOO(downdate=False)"
+                )
             return cv_loo_downdate(
                 self._X, self._Y, self.A,
                 batch_size=batch_size,
@@ -229,18 +244,33 @@ class PLSModel:
         )
 
     # ---------- reports (reference pls.cpp:551-580) ----------
+    def explained_variance_profile(self, X=None, Y=None):
+        """(sse, ev) arrays of shape (A, M): SSE and explained variance at
+        every component truncation, from ONE residual pass
+        (models/predict.residuals_all_components) instead of A separate
+        predictions."""
+        from pls_tpu.models.predict import residuals_all_components
+        from pls_tpu.ops.stats import sst
+
+        X = self._X if X is None else jnp.asarray(X)
+        Y = self._Y if Y is None else self._as_col(Y)
+        res = residuals_all_components(self._fit, X, Y)  # (n, A, M)
+        sse = jnp.sum(res * res, axis=0)  # (A, M)
+        ev = 1.0 - sse / sst(Y)[None, :]
+        return sse, ev
+
     def print_explained_variance(self, X=None, Y=None, file=None) -> None:
         from pls_tpu.utils.reporting import format_eigen
 
         file = sys.stderr if file is None else file
-        X = self._X if X is None else jnp.asarray(X)
-        Y = self._Y if Y is None else jnp.atleast_2d(jnp.asarray(Y))
+        sse, ev = self.explained_variance_profile(X, Y)
+        sse, ev = np.asarray(sse), np.asarray(ev)
         wd = max(1, int(np.ceil(np.log10(max(self.A, 2)))))
         for ncomp in range(1, self.A + 1):
-            ev = format_eigen(np.asarray(self.explained_variance(X, Y, ncomp)))
-            ss = format_eigen(np.asarray(self.SSE(X, Y, ncomp)))
             print(
-                f"{ncomp:>{wd}} components explained variance: {ev}  - SSE: {ss}",
+                f"{ncomp:>{wd}} components explained variance: "
+                f"{format_eigen(ev[ncomp - 1])}  - SSE: "
+                f"{format_eigen(sse[ncomp - 1])}",
                 file=file,
             )
 
@@ -261,7 +291,9 @@ class PLSModel:
             if mat.size:
                 print(fmt(np.asarray(mat)), file=file)
             else:
-                print("", file=file, end="")
+                # Eigen's `os << T << endl` on an empty matrix emits just
+                # the newline — keep the blank line for byte diffability
+                print("", file=file)
 
     # ---------- checkpointing (absent in the reference; SURVEY.md §5) ----------
     def save(self, path: str) -> None:
@@ -272,7 +304,11 @@ class PLSModel:
             W=np.asarray(f.W), P=np.asarray(f.P), Q=np.asarray(f.Q),
             R=np.asarray(f.R), T=np.asarray(f.T),
             X=np.asarray(self._X), Y=np.asarray(self._Y),
-            meta=json.dumps({"method": self._method.value, "A": f.A}),
+            meta=json.dumps({
+                "method": self._method.value, "A": f.A,
+                "power_iters": self._power_iters,
+                "precision": self._precision,
+            }),
         )
 
     @classmethod
@@ -286,5 +322,7 @@ class PLSModel:
         )
         return cls(
             z["X"], z["Y"], METHOD(meta["method"]), meta["A"],
+            power_iters=meta.get("power_iters"),
+            precision=meta.get("precision", "highest"),
             _fit_state=fit_state,
         )

@@ -26,30 +26,40 @@ from pls_tpu.ops.stats import sst
 from pls_tpu.types import PLSFit
 
 
+def _check_comp(fit: PLSFit, comp: int | None) -> int:
+    """Resolve/validate a truncation count (the reference asserts
+    A >= comp, pls.cpp:440,445 — silent clipping would mislabel results)."""
+    if comp is None:
+        return fit.A
+    if not (0 < comp <= fit.A):
+        raise ValueError(f"comp={comp} outside 1..A={fit.A}")
+    return comp
+
+
 def scores(fit: PLSFit, X_new: jnp.ndarray, comp: int | None = None) -> jnp.ndarray:
     """Latent-space scores T = Xn · R[:, :comp] (reference pls.cpp:439-442)."""
-    comp = fit.A if comp is None else comp
+    comp = _check_comp(fit, comp)
     return X_new @ fit.R[:, :comp]
 
 
 def loadings_x(fit: PLSFit, comp: int | None = None) -> jnp.ndarray:
     """X loadings P[:, :comp] (declared-but-undefined in the reference,
     pls.h:207-208)."""
-    comp = fit.A if comp is None else comp
+    comp = _check_comp(fit, comp)
     return fit.P[:, :comp]
 
 
 def loadings_y(fit: PLSFit, comp: int | None = None) -> jnp.ndarray:
     """Y loadings Q[:, :comp] (declared-but-undefined in the reference,
     pls.h:210-211)."""
-    comp = fit.A if comp is None else comp
+    comp = _check_comp(fit, comp)
     return fit.Q[:, :comp]
 
 
 def coefficients(fit: PLSFit, comp: int | None = None) -> jnp.ndarray:
     """Regression coefficients B = R[:, :c] · Q[:, :c]ᵀ, (K, M)
     (reference pls.cpp:444-447)."""
-    comp = fit.A if comp is None else comp
+    comp = _check_comp(fit, comp)
     return fit.R[:, :comp] @ fit.Q[:, :comp].T
 
 
@@ -96,7 +106,7 @@ def vip(
     Needs the scores T; for fits without stored T (KERNEL_TYPE2 /
     from-stats) pass the training X so T = X R can be formed.
     """
-    comp = fit.A if comp is None else comp
+    comp = _check_comp(fit, comp)
     if fit.T.size:
         T = fit.T[:, :comp]
     else:

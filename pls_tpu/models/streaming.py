@@ -76,33 +76,46 @@ class StatsAccumulator:
         return fit_from_stats(self.XX, self.XY, A, **kw)
 
 
-def collect_moments(chunks, K: int, M: int, dtype=jnp.float64):
-    """Pass 1 of exact streaming z-scoring: per-column count/sum/sumsq for
-    X and Y over an iterable of (X_chunk, Y_chunk)."""
-    sx = jnp.zeros((K,), dtype)
-    sxx = jnp.zeros((K,), dtype)
-    sy = jnp.zeros((M,), dtype)
-    syy = jnp.zeros((M,), dtype)
+def _merge_moments(n, mean, m2, Xc):
+    """Chan et al. parallel-variance merge of a chunk into running
+    (count, mean, centered-sum-of-squares) — numerically stable at f32
+    even for large means, unlike the sumsq − n·mean² formula (which
+    cancels catastrophically: the reason this is not a naive
+    sum/sum-of-squares accumulator)."""
+    n_c = Xc.shape[0]
+    mean_c = jnp.mean(Xc, axis=0)
+    m2_c = jnp.sum((Xc - mean_c[None, :]) ** 2, axis=0)
+    tot = n + n_c
+    delta = mean_c - mean
+    mean = mean + delta * (n_c / tot)
+    m2 = m2 + m2_c + delta * delta * (n * n_c / tot)
+    return tot, mean, m2
+
+
+def collect_moments(chunks, K: int, M: int, dtype=jnp.float32):
+    """Pass 1 of exact streaming z-scoring: per-column mean/stdev for X
+    and Y over an iterable of (X_chunk, Y_chunk), via chunk-wise Welford/
+    Chan merging (f32-safe; pass dtype=jnp.float64 under enabled x64 for
+    CPU parity runs — note jax silently downgrades f64 to f32 when x64 is
+    off)."""
+    mx = jnp.zeros((K,), dtype)
+    m2x = jnp.zeros((K,), dtype)
+    my = jnp.zeros((M,), dtype)
+    m2y = jnp.zeros((M,), dtype)
     n = 0
     for Xc, Yc in chunks:
         Xc = jnp.asarray(Xc, dtype)
         Yc = jnp.asarray(Yc, dtype)
         if Yc.ndim == 1:
             Yc = Yc[:, None]
-        sx = sx + Xc.sum(0)
-        sxx = sxx + (Xc * Xc).sum(0)
-        sy = sy + Yc.sum(0)
-        syy = syy + (Yc * Yc).sum(0)
-        n += Xc.shape[0]
-    mean_x = sx / n
-    mean_y = sy / n
+        n_new, mx, m2x = _merge_moments(n, mx, m2x, Xc)
+        _, my, m2y = _merge_moments(n, my, m2y, Yc)
+        n = n_new
     # unbiased (N-1) stdev, zero-guarded as in ops/stats.py
-    var_x = (sxx - n * mean_x**2) / (n - 1)
-    var_y = (syy - n * mean_y**2) / (n - 1)
-    sd_x = jnp.sqrt(jnp.maximum(var_x, 0))
-    sd_y = jnp.sqrt(jnp.maximum(var_y, 0))
-    return (mean_x, jnp.where(sd_x == 0, 1.0, sd_x),
-            mean_y, jnp.where(sd_y == 0, 1.0, sd_y), n)
+    sd_x = jnp.sqrt(jnp.maximum(m2x / (n - 1), 0))
+    sd_y = jnp.sqrt(jnp.maximum(m2y / (n - 1), 0))
+    return (mx, jnp.where(sd_x == 0, 1.0, sd_x),
+            my, jnp.where(sd_y == 0, 1.0, sd_y), n)
 
 
 def fit_streaming(

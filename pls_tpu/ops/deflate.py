@@ -142,8 +142,9 @@ def deflate_pass(
     N, K = X.shape
     if use_pallas is None:
         on_tpu = jax.default_backend() not in ("cpu",)
+        # a (16, K) minimum tile must fit the per-buffer VMEM budget
         use_pallas = (
-            _HAS_PALLAS and on_tpu and _row_tile(K, X.dtype.itemsize) >= 8
+            _HAS_PALLAS and on_tpu
             and K * X.dtype.itemsize * 16 <= 8 * 1024 * 1024
         )
     if not use_pallas:

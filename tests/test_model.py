@@ -184,3 +184,63 @@ class TestFloat32:
         B64 = np.asarray(m64.coefficients())
         scale = np.abs(B64).max()
         assert np.abs(B32 - B64).max() / scale < 2e-3
+
+
+class TestReviewRegressions:
+    """Regression tests for bugs found in code review."""
+
+    def test_1d_ynew_column_promotion(self, nir):
+        """1-D Y_new must promote to a column; atleast_2d's (1,n) row
+        silently broadcast residuals into an (n,n) matrix."""
+        X, Y = nir
+        m = PLSModel(X, Y, max_components=3)
+        y1d = np.asarray(Y).ravel()
+        res = np.asarray(m.residuals(X, y1d))
+        assert res.shape == (60, 1)
+        sse = np.asarray(m.SSE(X, y1d))
+        assert sse.shape == (1,)
+        np.testing.assert_allclose(sse, np.asarray(m.SSE()), atol=1e-9)
+
+    def test_downdate_rejects_non_kernel_methods(self, toy):
+        """cv_LOO(downdate=True) must not silently cross-validate a
+        kernel model when the fitted model is SIMPLS/NIPALS."""
+        X, Y = toy
+        m = PLSModel(X, Y, pt.SIMPLS, 2)
+        with pytest.raises(ValueError, match="downdate"):
+            m.cv_LOO(downdate=True)
+
+    def test_save_load_preserves_numerics_config(self, toy, tmp_path):
+        X, Y = toy
+        m = PLSModel(X, Y, pt.KERNEL_TYPE1, 2, power_iters=8, precision=None)
+        p = str(tmp_path / "m.npz")
+        m.save(p)
+        m2 = PLSModel.load(p)
+        assert m2._power_iters == 8
+        assert m2._precision is None
+
+    def test_comp_out_of_range_raises(self, toy):
+        m = PLSModel(*toy, max_components=2)
+        for bad in (0, 3, -1):
+            with pytest.raises(ValueError):
+                m.coefficients(bad)
+            with pytest.raises(ValueError):
+                m.scores(comp=bad)
+
+    def test_explained_variance_profile_matches_per_comp(self, nir):
+        X, Y = nir
+        m = PLSModel(X, Y, max_components=5)
+        sse, ev = m.explained_variance_profile()
+        for c in range(1, 6):
+            np.testing.assert_allclose(
+                np.asarray(ev[c - 1]), np.asarray(m.explained_variance(comp=c)),
+                atol=1e-9,
+            )
+
+    def test_print_state_empty_T_blank_line(self, toy):
+        """Type-2 models (no T) must print a blank line after 'T:' like
+        Eigen's `os << T << endl` on an empty matrix."""
+        X, Y = toy
+        m = PLSModel(X, Y, pt.KERNEL_TYPE2, 2)
+        buf = io.StringIO()
+        m.print_state(file=buf)
+        assert "T:\n\ncoefficients:" in buf.getvalue()

@@ -82,3 +82,23 @@ class TestDebug:
         assert h["score_orthogonality_defect"] < 1e-10
         assert h["ptw_diag_deviation"] < 1e-10
         assert len(h["score_norms"]) == 2
+
+
+class TestCrashRecovery:
+    def test_orphan_tmp_files_ignored_and_cleanable(self, toy, tmp_path):
+        """A crash between savez and the atomic rename leaves a *.tmp.npz;
+        completed_ranges must skip it and clean_orphans remove it."""
+        X, Y = toy
+        from pls_tpu.utils.gcc_rng import GccRng
+
+        parts = GccRng().lso_partitions(10, 8)
+        runner = ResumableCV(str(tmp_path / "s"))
+        runner.run_lso(
+            jnp.asarray(X), jnp.asarray(Y), 2, 0.3, 8,
+            partitions=parts, range_size=8,
+        )
+        orphan = runner.dir / "lso_00000008_00000016.tmp.npz"
+        np.savez(orphan, errors=np.zeros((2, 1, 2)))
+        assert runner.completed_ranges("lso") == [(0, 8)]
+        assert runner.clean_orphans() == 1
+        assert not orphan.exists()

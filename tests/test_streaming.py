@@ -47,7 +47,7 @@ def test_streaming_zscore_matches_reference_pipeline(golden):
     Xraw = np.loadtxt("/root/reference/toyX.csv", delimiter=",")
     Yraw = np.loadtxt("/root/reference/toyY.csv", delimiter=",")
     K, M = 15, 2
-    moments = collect_moments(_chunks(Xraw, Yraw, 3), K, M)
+    moments = collect_moments(_chunks(Xraw, Yraw, 3), K, M, dtype=jnp.float64)
     f = fit_streaming(
         _chunks(Xraw, Yraw, 3), K, M, 2,
         zscore=True, moments=moments, dtype=jnp.float64,
@@ -55,3 +55,18 @@ def test_streaming_zscore_matches_reference_pipeline(golden):
     np.testing.assert_allclose(
         np.asarray(pt.coefficients(f)), golden("toy_t2_B"), atol=1e-9
     )
+
+
+def test_moments_f32_large_mean_stability():
+    """Chan-merged moments must survive f32 with mean >> std (the naive
+    sumsq − n·mean² formula cancels to zero variance)."""
+    rng = np.random.default_rng(0)
+    X = (1e4 + rng.normal(size=(4000, 3))).astype(np.float32)
+    Y = (5e3 + rng.normal(size=(4000, 1))).astype(np.float32)
+    moments = collect_moments(_chunks(X, Y, 512), 3, 1, dtype=jnp.float32)
+    mx, sdx, my, sdy, n = moments
+    assert n == 4000
+    np.testing.assert_allclose(np.asarray(mx), X.mean(0), rtol=1e-5)
+    # the whole point: stdev ~1 recovered, not clamped to the zero-guard
+    np.testing.assert_allclose(np.asarray(sdx), X.std(0, ddof=1), rtol=1e-2)
+    assert np.all(np.asarray(sdx) > 0.5)

@@ -41,20 +41,44 @@ def _update(XX, XY, n, Xc, Yc):
     return XX + Xc.T @ Xc, XY + Xc.T @ Yc, n + Xc.shape[0]
 
 
+@jax.jit
+def _update_compensated(XX, XXe, XY, XYe, n, Xc, Yc):
+    from pls_tpu.ops.twofloat import dd_add_f
+
+    XX, XXe = dd_add_f(XX, XXe, Xc.T @ Xc)
+    XY, XYe = dd_add_f(XY, XYe, Xc.T @ Yc)
+    return XX, XXe, XY, XYe, n + Xc.shape[0]
+
+
 @dataclass
 class StatsAccumulator:
-    """Accumulates XᵀX, XᵀY (and row count) over data chunks."""
+    """Accumulates XᵀX, XᵀY (and row count) over data chunks.
+
+    compensated=True carries the accumulators as float32 pairs combined by
+    error-free two-sums (ops/twofloat.py) — the TPU-native analogue of the
+    reference's MPFR escape hatch (/root/reference/include/PLS/pls.h:11-28)
+    for the one place large-N precision is actually lost: the reduction
+    over rows.  The resulting XX/XY are correctly rounded regardless of
+    how many chunks streamed past (error independent of N)."""
 
     K: int
     M: int
     dtype: object = jnp.float32
+    compensated: bool = False
     XX: jax.Array = field(init=False)
     XY: jax.Array = field(init=False)
+    XXe: jax.Array = field(init=False)
+    XYe: jax.Array = field(init=False)
     n: int = field(init=False, default=0)
 
     def __post_init__(self):
         self.XX = jnp.zeros((self.K, self.K), self.dtype)
         self.XY = jnp.zeros((self.K, self.M), self.dtype)
+        # error accumulators only materialize in compensated mode (a K×K
+        # f32 buffer is 400 MB at the K=10k north-star scale)
+        z = jnp.zeros((0,), self.dtype)
+        self.XXe = jnp.zeros((self.K, self.K), self.dtype) if self.compensated else z
+        self.XYe = jnp.zeros((self.K, self.M), self.dtype) if self.compensated else z
         self.n = jnp.zeros((), jnp.int64 if jnp.array(0).dtype == jnp.int64 else jnp.int32)
 
     def update(self, X_chunk, Y_chunk) -> "StatsAccumulator":
@@ -62,13 +86,28 @@ class StatsAccumulator:
         Y_chunk = jnp.asarray(Y_chunk, self.dtype)
         if Y_chunk.ndim == 1:
             Y_chunk = Y_chunk[:, None]
-        self.XX, self.XY, self.n = _update(self.XX, self.XY, self.n, X_chunk, Y_chunk)
+        if self.compensated:
+            (self.XX, self.XXe, self.XY, self.XYe, self.n) = _update_compensated(
+                self.XX, self.XXe, self.XY, self.XYe, self.n, X_chunk, Y_chunk
+            )
+        else:
+            self.XX, self.XY, self.n = _update(
+                self.XX, self.XY, self.n, X_chunk, Y_chunk
+            )
         return self
 
     def merge(self, other: "StatsAccumulator") -> "StatsAccumulator":
         """Combine statistics from another shard/host (psum analogue)."""
-        self.XX = self.XX + other.XX
-        self.XY = self.XY + other.XY
+        if self.compensated != other.compensated:
+            raise ValueError("cannot merge compensated and plain accumulators")
+        if self.compensated:
+            from pls_tpu.ops.twofloat import dd_add
+
+            self.XX, self.XXe = dd_add(self.XX, self.XXe, other.XX, other.XXe)
+            self.XY, self.XYe = dd_add(self.XY, self.XYe, other.XY, other.XYe)
+        else:
+            self.XX = self.XX + other.XX
+            self.XY = self.XY + other.XY
         self.n = self.n + other.n
         return self
 

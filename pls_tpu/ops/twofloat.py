@@ -1,0 +1,157 @@
+"""Error-free-transform (float32-pair) arithmetic — the TPU-native
+analogue of the reference's MPFR escape hatch.
+
+The reference offers compile-time arbitrary precision via MPFR
+(`MPREAL_SUPPORT`, /root/reference/include/PLS/pls.h:11-28) as its
+numerics escape hatch.  TPUs have no float64 ALU, so the equivalent here
+is *compensated* arithmetic: every value is carried as an unevaluated sum
+`hi + lo` of two float32s (a "double-float", ~49 bits of effective
+mantissa), built from error-free transforms (Knuth two-sum, Dekker
+two-prod).  All operations are branch-free elementwise VPU code, so they
+jit/vmap/shard like any other jnp op.
+
+Where it matters for PLS: the cross-products XᵀX and XᵀY reduce over N.
+At the north-star scale (N = 1M rows) a plain f32 tree-sum loses ~10 bits
+to accumulated rounding; compensating the *chunk-level* accumulation
+(each chunk partial computed on the MXU at f32, chunk partials combined
+with two-sum) removes the N-dependence of the error entirely — the
+residual error is the single-chunk MXU rounding, independent of how many
+chunks streamed past.  This is the `compensated=True` mode of
+`models/streaming.StatsAccumulator` and `ops/twofloat.cross_products`.
+
+No reference code is copied; pls.h lines are cited for capability parity
+only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Dekker splitting constant for a given mantissa: 2^ceil(p/2) + 1.
+# float32 has p=24 -> 2^12 + 1; float64 has p=53 -> 2^27 + 1.
+_SPLIT = {jnp.dtype(jnp.float32): 4097.0, jnp.dtype(jnp.float64): 134217729.0}
+
+
+def two_sum(a: jnp.ndarray, b: jnp.ndarray):
+    """Error-free addition (Knuth): returns (s, e) with s = fl(a+b) and
+    a + b = s + e exactly.  Branch-free, 6 flops."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a: jnp.ndarray, b: jnp.ndarray):
+    """Error-free addition assuming |a| >= |b| (Dekker, 3 flops)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def split(a: jnp.ndarray):
+    """Dekker split: a = hi + lo with hi, lo each representable in half
+    the mantissa (so hi*hi', hi*lo', ... products are exact)."""
+    c = _SPLIT[jnp.dtype(a.dtype)] * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a: jnp.ndarray, b: jnp.ndarray):
+    """Error-free multiplication (Dekker): (p, e) with a*b = p + e exactly
+    (barring overflow/underflow of the split)."""
+    p = a * b
+    ah, al = split(a)
+    bh, bl = split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def dd_add(x_hi, x_lo, y_hi, y_lo):
+    """Double-float addition: (x_hi + x_lo) + (y_hi + y_lo), renormalized."""
+    s, e = two_sum(x_hi, y_hi)
+    e = e + (x_lo + y_lo)
+    return fast_two_sum(s, e)
+
+
+def dd_add_f(x_hi, x_lo, y):
+    """Double-float += single float."""
+    s, e = two_sum(x_hi, y)
+    return fast_two_sum(s, e + x_lo)
+
+
+def dd_mul(x_hi, x_lo, y_hi, y_lo):
+    """Double-float multiplication."""
+    p, e = two_prod(x_hi, y_hi)
+    e = e + (x_hi * y_lo + x_lo * y_hi)
+    return fast_two_sum(p, e)
+
+
+def dd_sum(x: jnp.ndarray, axis: int = 0):
+    """Compensated reduction along `axis`: returns (hi, lo) such that
+    hi + lo approximates the exact sum to ~2*p bits.  Implemented as a
+    sequential two-sum scan (lax.scan keeps it a single fused loop)."""
+    x = jnp.moveaxis(x, axis, 0)
+
+    def step(carry, xi):
+        hi, lo = carry
+        hi, e = two_sum(hi, xi)
+        return (hi, lo + e), None
+
+    z = jnp.zeros_like(x[0])
+    (hi, lo), _ = jax.lax.scan(step, (z, z), x)
+    return fast_two_sum(hi, lo)
+
+
+@partial(jax.jit, static_argnames=("chunk", "precision"))
+def cross_products(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    *,
+    chunk: int = 4096,
+    precision: str | None = "highest",
+):
+    """Compensated XᵀX and XᵀY: per-chunk partials on the MXU at f32,
+    chunk partials combined with error-free two-sum.
+
+    Returns (XX_hi, XX_lo, XY_hi, XY_lo).  The error of hi+lo is bounded
+    by a single chunk's matmul rounding — independent of N — versus the
+    O(log(N/chunk)) (tree) or O(N/chunk) (sequential) growth of a plain
+    f32 accumulation.  Use `fit_from_stats(XX_hi + ...)` — for PLS the
+    downstream component loop is f32; what matters is that the statistics
+    entering it are correctly rounded.
+    """
+    N, K = X.shape
+    M = Y.shape[1]
+    dtype = X.dtype
+    pad = (-N) % chunk
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, K), dtype)])
+        Y = jnp.concatenate([Y, jnp.zeros((pad, M), dtype)])
+    n_chunks = (N + pad) // chunk
+    Xc = X.reshape(n_chunks, chunk, K)
+    Yc = Y.reshape(n_chunks, chunk, M)
+
+    prec = precision  # dot_general accepts the string form directly
+
+    def step(carry, xy):
+        xx_hi, xx_lo, xy_hi, xy_lo = carry
+        x, y = xy
+        pxx = jax.lax.dot_general(
+            x, x, (((0,), (0,)), ((), ())), precision=prec
+        )
+        pxy = jax.lax.dot_general(
+            x, y, (((0,), (0,)), ((), ())), precision=prec
+        )
+        xx_hi, xx_lo = dd_add_f(xx_hi, xx_lo, pxx)
+        xy_hi, xy_lo = dd_add_f(xy_hi, xy_lo, pxy)
+        return (xx_hi, xx_lo, xy_hi, xy_lo), None
+
+    zxx = jnp.zeros((K, K), dtype)
+    zxy = jnp.zeros((K, M), dtype)
+    (xx_hi, xx_lo, xy_hi, xy_lo), _ = jax.lax.scan(
+        step, (zxx, zxx, zxy, zxy), (Xc, Yc)
+    )
+    return xx_hi, xx_lo, xy_hi, xy_lo

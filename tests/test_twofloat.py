@@ -1,0 +1,162 @@
+"""Error-free transforms & compensated accumulation (ops/twofloat.py) —
+the MPFR-analogue precision escape hatch (DEVIATIONS.md #7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pls_tpu.models.streaming import StatsAccumulator
+from pls_tpu.ops.twofloat import (
+    cross_products,
+    dd_sum,
+    two_prod,
+    two_sum,
+)
+
+F32 = jnp.float32
+
+
+def test_two_sum_exact():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=1024) * 1e6, F32)
+    b = jnp.asarray(rng.normal(size=1024), F32)
+    s, e = two_sum(a, b)
+    # s + e must equal a + b EXACTLY (verifiable in f64: all quantities
+    # are f32, so the f64 sums below are themselves exact)
+    lhs = s.astype(jnp.float64) + e.astype(jnp.float64)
+    rhs = a.astype(jnp.float64) + b.astype(jnp.float64)
+    assert bool(jnp.all(lhs == rhs))
+    # and s is the correctly-rounded f32 sum
+    assert bool(jnp.all(s == (a + b)))
+
+
+def test_two_prod_exact():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=1024) * 37.0, F32)
+    b = jnp.asarray(rng.normal(size=1024) * 0.013, F32)
+    p, e = two_prod(a, b)
+    lhs = p.astype(jnp.float64) + e.astype(jnp.float64)
+    rhs = a.astype(jnp.float64) * b.astype(jnp.float64)  # exact in f64
+    assert bool(jnp.all(lhs == rhs))
+
+
+def test_dd_sum_beats_naive():
+    # ill-conditioned: large mean, small variance -> naive f32 sum loses
+    rng = np.random.default_rng(2)
+    x64 = 1000.0 + rng.normal(size=200_000)
+    x = jnp.asarray(x64, F32)
+    exact = np.sum(x64.astype(np.float32).astype(np.float64))
+    hi, lo = dd_sum(x)
+    dd_err = abs(float(hi) + float(lo) - exact)
+    naive_err = abs(float(jnp.sum(x)) - exact)
+    # compensated sum is exact to ~n*eps^2 * sum|x| ≈ 0.14 here; the f32
+    # ulp at this magnitude is 16, so anything under one ulp is "exact"
+    assert dd_err < 1.0
+    assert dd_err <= naive_err + 1.0
+
+
+@pytest.mark.parametrize("chunk", [64, 1024])
+def test_cross_products_compensated(chunk):
+    rng = np.random.default_rng(3)
+    N, K, M = 8192, 12, 3
+    X64 = 50.0 + rng.normal(size=(N, K))
+    Y64 = -20.0 + rng.normal(size=(N, M))
+    X = jnp.asarray(X64.astype(np.float32), F32)
+    Y = jnp.asarray(Y64.astype(np.float32), F32)
+    # exact f64 ground truth of the f32-rounded data
+    XXe = X64.astype(np.float32).astype(np.float64).T @ X64.astype(np.float32).astype(np.float64)
+    XYe = X64.astype(np.float32).astype(np.float64).T @ Y64.astype(np.float32).astype(np.float64)
+
+    xx_hi, xx_lo, xy_hi, xy_lo = cross_products(X, Y, chunk=chunk)
+    xx = np.asarray(xx_hi, np.float64) + np.asarray(xx_lo, np.float64)
+    xy = np.asarray(xy_hi, np.float64) + np.asarray(xy_lo, np.float64)
+
+    # sequential plain-f32 chunk accumulation (what a streaming pass
+    # without compensation does)
+    naive_xx = np.zeros((K, K), np.float32)
+    naive_xy = np.zeros((K, M), np.float32)
+    Xn = np.asarray(X)
+    Yn = np.asarray(Y)
+    for i in range(0, N, chunk):
+        naive_xx += Xn[i : i + chunk].T @ Xn[i : i + chunk]
+        naive_xy += Xn[i : i + chunk].T @ Yn[i : i + chunk]
+
+    comp_err = np.max(np.abs(xx - XXe) / np.abs(XXe))
+    naive_err = np.max(np.abs(naive_xx.astype(np.float64) - XXe) / np.abs(XXe))
+    # the compensated error floor is the per-chunk matmul rounding —
+    # N-independent (~f32 eps); the naive error grows with chunk count
+    assert comp_err < 3e-7
+    if chunk == 64:  # 128 chunks: accumulation error dominates the naive path
+        assert comp_err < naive_err / 4
+        comp_err_xy = np.max(np.abs(xy - XYe) / np.maximum(np.abs(XYe), 1.0))
+        naive_err_xy = np.max(
+            np.abs(naive_xy.astype(np.float64) - XYe) / np.maximum(np.abs(XYe), 1.0)
+        )
+        assert comp_err_xy < naive_err_xy / 4
+
+
+def test_stats_accumulator_compensated_matches_and_merges():
+    rng = np.random.default_rng(4)
+    N, K, M, chunk = 4096, 8, 2, 64
+    X = (100.0 + rng.normal(size=(N, K))).astype(np.float32)
+    Y = rng.normal(size=(N, M)).astype(np.float32)
+    exact = X.astype(np.float64).T @ X.astype(np.float64)
+
+    acc = StatsAccumulator(K, M, jnp.float32, compensated=True)
+    plain = StatsAccumulator(K, M, jnp.float32)
+    for i in range(0, N, chunk):
+        acc.update(X[i : i + chunk], Y[i : i + chunk])
+        plain.update(X[i : i + chunk], Y[i : i + chunk])
+    comp = np.asarray(acc.XX, np.float64) + np.asarray(acc.XXe, np.float64)
+    comp_err = np.max(np.abs(comp - exact))
+    plain_err = np.max(np.abs(np.asarray(plain.XX, np.float64) - exact))
+    assert comp_err < plain_err / 4
+    assert int(acc.n) == N
+
+    # shard merge (psum analogue): two half-accumulators == one full
+    a1 = StatsAccumulator(K, M, jnp.float32, compensated=True)
+    a2 = StatsAccumulator(K, M, jnp.float32, compensated=True)
+    for i in range(0, N // 2, chunk):
+        a1.update(X[i : i + chunk], Y[i : i + chunk])
+    for i in range(N // 2, N, chunk):
+        a2.update(X[i : i + chunk], Y[i : i + chunk])
+    a1.merge(a2)
+    merged = np.asarray(a1.XX, np.float64) + np.asarray(a1.XXe, np.float64)
+    assert np.max(np.abs(merged - exact)) < plain_err / 4
+
+    with pytest.raises(ValueError):
+        a1.merge(plain)
+
+
+def test_compensated_fit_matches_f64():
+    """End to end: f32 compensated stats -> fit agrees with the f64 fit
+    far better than plain-f32 stats do."""
+    from pls_tpu.models.kernel_pls import fit_from_stats
+
+    rng = np.random.default_rng(5)
+    N, K, M, A = 16384, 10, 2, 4
+    X = (10.0 + rng.normal(size=(N, K))).astype(np.float32)
+    B_true = rng.normal(size=(K, M))
+    Y = (X @ B_true + 0.01 * rng.normal(size=(N, M))).astype(np.float32)
+
+    X64, Y64 = X.astype(np.float64), Y.astype(np.float64)
+    ref = fit_from_stats(jnp.asarray(X64.T @ X64), jnp.asarray(X64.T @ Y64), A)
+
+    xx_hi, xx_lo, xy_hi, xy_lo = cross_products(
+        jnp.asarray(X), jnp.asarray(Y), chunk=128
+    )
+    f_comp = fit_from_stats(xx_hi, xy_hi, A)
+
+    naive_xx = np.zeros((K, K), np.float32)
+    naive_xy = np.zeros((K, M), np.float32)
+    for i in range(0, N, 128):
+        naive_xx += X[i : i + 128].T @ X[i : i + 128]
+        naive_xy += X[i : i + 128].T @ Y[i : i + 128]
+    f_naive = fit_from_stats(jnp.asarray(naive_xx), jnp.asarray(naive_xy), A)
+
+    def werr(f):
+        # weights are sign-ambiguous per column; compare |W|
+        return np.max(np.abs(np.abs(np.asarray(f.W)) - np.abs(np.asarray(ref.W))))
+
+    assert werr(f_comp) < werr(f_naive)

@@ -74,6 +74,7 @@ from pls_tpu.model import PLSModel
 from pls_tpu.utils.io import read_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import PLSRegressor
+from pls_tpu.models.plsda import PLSDAClassifier
 
 __version__ = "0.1.0"
 
@@ -119,5 +120,6 @@ __all__ = [
     "vip",
     "ZScorer",
     "PLSRegressor",
+    "PLSDAClassifier",
     "__version__",
 ]

@@ -70,6 +70,7 @@ from pls_tpu.cv.bootstrap import (
 from pls_tpu.cv.loo import cv_loo
 from pls_tpu.cv.lso import cv_lso
 from pls_tpu.cv.newdata import cv_new_data
+from pls_tpu.cv.kfold import cv_kfold, cv_group
 from pls_tpu.model import PLSModel
 from pls_tpu.utils.io import read_matrix_file
 from pls_tpu.preprocess import ZScorer
@@ -115,6 +116,8 @@ __all__ = [
     "cv_loo",
     "cv_lso",
     "cv_new_data",
+    "cv_kfold",
+    "cv_group",
     "PLSModel",
     "read_matrix_file",
     "vip",

@@ -76,6 +76,12 @@ from pls_tpu.utils.io import read_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import PLSRegressor
 from pls_tpu.models.plsda import PLSDAClassifier
+from pls_tpu.models.opls import (
+    OPLSFit,
+    fit_opls,
+    correct as opls_correct,
+    predict as opls_predict,
+)
 
 __version__ = "0.1.0"
 
@@ -124,5 +130,9 @@ __all__ = [
     "ZScorer",
     "PLSRegressor",
     "PLSDAClassifier",
+    "OPLSFit",
+    "fit_opls",
+    "opls_correct",
+    "opls_predict",
     "__version__",
 ]

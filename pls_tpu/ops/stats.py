@@ -24,8 +24,11 @@ def sst(mat: jnp.ndarray, means: jnp.ndarray | None = None) -> jnp.ndarray:
     N < 2 => zeros convention.
     """
     mat = jnp.asarray(mat)
+    if mat.ndim == 1:
+        mat = mat[:, None]
     if means is None:
         means = jnp.mean(mat, axis=0)
+    means = jnp.atleast_1d(jnp.asarray(means))
     if mat.shape[0] < 2:
         return jnp.zeros((mat.shape[1],), dtype=mat.dtype)
     return jnp.sum((mat - means[None, :]) ** 2, axis=0)
@@ -55,11 +58,16 @@ def colwise_z_scores(
 
     Constant (zero-stdev) columns map to exactly 0 — this is the *intended*
     behavior of the reference (its guard is dead code; see module docstring).
+    1-D input is treated as a single column (returned 2-D).
     """
     mat = jnp.asarray(mat)
+    if mat.ndim == 1:
+        mat = mat[:, None]
     if mean is None:
         mean = jnp.mean(mat, axis=0)
+    mean = jnp.atleast_1d(jnp.asarray(mean))
     if stdev is None:
         stdev = colwise_stdev(mat, mean)
+    stdev = jnp.atleast_1d(jnp.asarray(stdev))
     safe_sd = jnp.where(stdev == 0, jnp.ones_like(stdev), stdev)
     return (mat - mean[None, :]) / safe_sd[None, :]

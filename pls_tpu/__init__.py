@@ -67,6 +67,11 @@ from pls_tpu.cv.bootstrap import (
     bootstrap_coefficients,
     bootstrap_coefficient_intervals,
 )
+from pls_tpu.cv.inference import (
+    jackknife_coefficients,
+    coefficient_significance,
+    permutation_test,
+)
 from pls_tpu.cv.loo import cv_loo
 from pls_tpu.cv.lso import cv_lso
 from pls_tpu.cv.newdata import cv_new_data
@@ -119,6 +124,9 @@ __all__ = [
     "compare_models",
     "bootstrap_coefficients",
     "bootstrap_coefficient_intervals",
+    "jackknife_coefficients",
+    "coefficient_significance",
+    "permutation_test",
     "cv_loo",
     "cv_lso",
     "cv_new_data",

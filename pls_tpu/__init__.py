@@ -81,6 +81,12 @@ from pls_tpu.utils.io import read_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import PLSRegressor
 from pls_tpu.models.plsda import PLSDAClassifier
+from pls_tpu.models.kpls import (
+    KPLSFit,
+    fit_kpls,
+    predict_kpls,
+    kernel_matrix,
+)
 from pls_tpu.models.opls import (
     OPLSFit,
     fit_opls,
@@ -138,6 +144,10 @@ __all__ = [
     "ZScorer",
     "PLSRegressor",
     "PLSDAClassifier",
+    "KPLSFit",
+    "fit_kpls",
+    "predict_kpls",
+    "kernel_matrix",
     "OPLSFit",
     "fit_opls",
     "opls_correct",

@@ -29,6 +29,7 @@ from pls_tpu.types import (
     KERNEL_TYPE2,
     NIPALS,
     SIMPLS,
+    SPLS,
     VALIDATION_OUTPUT,
     RESS,
     MSE,
@@ -81,6 +82,7 @@ from pls_tpu.utils.io import read_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import PLSRegressor
 from pls_tpu.models.plsda import PLSDAClassifier
+from pls_tpu.models.sparse import fit_spls, selected_variables
 from pls_tpu.models.kpls import (
     KPLSFit,
     fit_kpls,
@@ -102,6 +104,7 @@ __all__ = [
     "KERNEL_TYPE2",
     "NIPALS",
     "SIMPLS",
+    "SPLS",
     "VALIDATION_OUTPUT",
     "RESS",
     "MSE",
@@ -144,6 +147,8 @@ __all__ = [
     "ZScorer",
     "PLSRegressor",
     "PLSDAClassifier",
+    "fit_spls",
+    "selected_variables",
     "KPLSFit",
     "fit_kpls",
     "predict_kpls",

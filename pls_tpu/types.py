@@ -36,18 +36,21 @@ class METHOD(enum.Enum):
     per component (best for tall X, N >> K); Type 2 precomputes XᵀX so the
     component loop never touches X (best for wide-ish X or huge N).
     NIPALS is the classical X-deflating algorithm; SIMPLS is de Jong (1993).
+    SPLS tags fits produced by the sparse-PLS extension (models/sparse.py).
     """
 
     KERNEL_TYPE1 = "kernel1"
     KERNEL_TYPE2 = "kernel2"
     NIPALS = "nipals"
     SIMPLS = "simpls"
+    SPLS = "spls"
 
 
 KERNEL_TYPE1 = METHOD.KERNEL_TYPE1
 KERNEL_TYPE2 = METHOD.KERNEL_TYPE2
 NIPALS = METHOD.NIPALS
 SIMPLS = METHOD.SIMPLS
+SPLS = METHOD.SPLS
 
 
 class VALIDATION_OUTPUT(enum.Enum):

@@ -78,7 +78,13 @@ from pls_tpu.cv.lso import cv_lso
 from pls_tpu.cv.newdata import cv_new_data
 from pls_tpu.cv.kfold import cv_kfold, cv_group
 from pls_tpu.model import PLSModel
-from pls_tpu.utils.io import read_matrix_file
+from pls_tpu.models.streaming import (
+    StatsAccumulator,
+    collect_moments,
+    fit_streaming,
+    fit_streaming_csv,
+)
+from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import PLSRegressor
 from pls_tpu.models.plsda import PLSDAClassifier
@@ -147,6 +153,11 @@ __all__ = [
     "ZScorer",
     "PLSRegressor",
     "PLSDAClassifier",
+    "StatsAccumulator",
+    "collect_moments",
+    "fit_streaming",
+    "fit_streaming_csv",
+    "stream_matrix_file",
     "fit_spls",
     "selected_variables",
     "KPLSFit",

@@ -157,6 +157,50 @@ def collect_moments(chunks, K: int, M: int, dtype=jnp.float32):
             my, jnp.where(sd_y == 0, 1.0, sd_y), n)
 
 
+def csv_chunks(x_path, y_path, chunk_rows: int, separator: str = ","):
+    """Iterate aligned (X_chunk, Y_chunk) blocks of two headerless CSVs via
+    the (natively threaded, if built) chunk loader — utils/io.py.
+    Raises if the files have different row counts."""
+    from pls_tpu.utils.io import stream_matrix_file
+
+    xs = stream_matrix_file(x_path, chunk_rows, separator)
+    ys = stream_matrix_file(y_path, chunk_rows, separator)
+    while True:
+        xc = next(xs, None)
+        yc = next(ys, None)
+        if xc is None and yc is None:
+            return
+        if xc is None or yc is None or xc.shape[0] != yc.shape[0]:
+            raise ValueError(
+                f"{x_path} and {y_path} have different numbers of rows"
+            )
+        yield xc, yc
+
+
+def fit_streaming_csv(
+    x_path, y_path, A: int, *,
+    chunk_rows: int = 8192, zscore: bool = True, separator: str = ",",
+    dtype=jnp.float32, **kw
+) -> PLSFit:
+    """Out-of-core fit straight from CSV files: exact two-pass scheme
+    (pass 1 column moments, pass 2 z-scored XᵀX/XᵀY accumulation), with X
+    never resident in memory — chunks flow from the threaded native loader
+    to the device accumulator.  The end-to-end streaming analogue of the
+    reference CLI pipeline (/root/reference/src/main.cpp:21-29) for files
+    that don't fit in host memory."""
+    probe = next(iter(csv_chunks(x_path, y_path, chunk_rows, separator)))
+    K, M = probe[0].shape[1], probe[1].shape[1]
+    moments = None
+    if zscore:
+        moments = collect_moments(
+            csv_chunks(x_path, y_path, chunk_rows, separator), K, M, dtype
+        )
+    return fit_streaming(
+        csv_chunks(x_path, y_path, chunk_rows, separator), K, M, A,
+        zscore=zscore, moments=moments, dtype=dtype, **kw
+    )
+
+
 def fit_streaming(
     chunks, K: int, M: int, A: int, *,
     zscore: bool = False, moments=None, dtype=jnp.float32, **kw

@@ -59,7 +59,75 @@ def _read_matrix_python(filename: str, separator: str = ",") -> np.ndarray:
     return np.stack(rows)
 
 
-_RAGGED_RE = None
+def _stream_matrix_python(filename: str, chunk_rows: int, separator: str = ","):
+    rows: list[np.ndarray] = []
+    ncols: int | None = None
+    row_index = 0
+    with open(filename) as f:
+        for line in f:
+            line = line.rstrip("\n").rstrip("\r")
+            fields = line.split(separator)
+            try:
+                row = np.array([float(v) for v in fields], dtype=np.float64)
+            except ValueError as e:
+                raise ValueError(
+                    f"non-numeric field in {filename} row {row_index}: {e}"
+                ) from e
+            if ncols is not None and row.size != ncols:
+                raise RaggedMatrixError(row_index, row.size, ncols)
+            ncols = row.size if ncols is None else ncols
+            rows.append(row)
+            row_index += 1
+            if len(rows) == chunk_rows:
+                yield np.stack(rows)
+                rows = []
+    if rows:
+        yield np.stack(rows)
+    elif row_index == 0:
+        raise ValueError(f"{filename} is empty")
+
+
+def _retype_ragged(e: ValueError) -> Exception:
+    import re
+
+    m = re.match(
+        r"Error: row (\d+) has (\d+) columns, but previous row\(s\) have "
+        r"(\d+) columns\.",
+        str(e),
+    )
+    if m:
+        return RaggedMatrixError(*(int(g) for g in m.groups()))
+    return e
+
+
+def stream_matrix_file(filename: str, chunk_rows: int, separator: str = ","):
+    """Yield float64 (rows <= chunk_rows, cols) blocks of a headerless CSV.
+
+    When the native extension is built, parsing runs on a background C++
+    thread that prefetches the next chunk while the caller consumes the
+    current one (pls_tpu._native.chunk_reader — double-buffered data
+    loading for out-of-core streaming fits, models/streaming.py); the
+    pure-Python fallback streams the same chunks synchronously.  Ragged
+    rows raise RaggedMatrixError with the reference's diagnostic
+    (/root/reference/src/pls.cpp:54-58), row index global across chunks.
+    """
+    if chunk_rows <= 0:
+        raise ValueError("chunk_rows must be positive")
+    try:
+        from pls_tpu import _native
+
+        reader = _native.chunk_reader(str(filename), int(chunk_rows), separator)
+    except ImportError:
+        yield from _stream_matrix_python(filename, chunk_rows, separator)
+        return
+    while True:
+        try:
+            chunk = next(reader)
+        except StopIteration:
+            return
+        except ValueError as e:
+            raise _retype_ragged(e) from None
+        yield chunk
 
 
 def read_matrix_file(filename: str, separator: str = ",") -> np.ndarray:
@@ -73,13 +141,7 @@ def read_matrix_file(filename: str, separator: str = ",") -> np.ndarray:
     except ValueError as e:
         # re-type the native loader's ragged-row diagnostic so callers (the
         # CLI) can reproduce the reference's exit semantics
-        import re
-
-        m = re.match(
-            r"Error: row (\d+) has (\d+) columns, but previous row\(s\) have "
-            r"(\d+) columns\.",
-            str(e),
-        )
-        if m:
-            raise RaggedMatrixError(*(int(g) for g in m.groups())) from None
-        raise
+        err = _retype_ragged(e)
+        if err is e:
+            raise
+        raise err from None

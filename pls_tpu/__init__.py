@@ -86,7 +86,12 @@ from pls_tpu.models.streaming import (
 )
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
-from pls_tpu.estimator import PLSRegressor
+from pls_tpu.estimator import (
+    PLSRegressor,
+    SPLSRegressor,
+    OPLSRegressor,
+    KPLSRegressor,
+)
 from pls_tpu.models.plsda import PLSDAClassifier
 from pls_tpu.models.sparse import fit_spls, selected_variables
 from pls_tpu.models.kpls import (
@@ -152,6 +157,9 @@ __all__ = [
     "vip",
     "ZScorer",
     "PLSRegressor",
+    "SPLSRegressor",
+    "OPLSRegressor",
+    "KPLSRegressor",
     "PLSDAClassifier",
     "StatsAccumulator",
     "collect_moments",

@@ -1,11 +1,15 @@
-"""Scikit-learn-style estimator facade.
+"""Scikit-learn-style estimator facades.
 
 Not part of the reference's surface; provided so the framework drops into
 the fit/predict/score ecosystems users expect.  Duck-typed to sklearn's
 estimator protocol (get_params/set_params/fit/predict/score) without
 importing sklearn.  Standardization is handled internally (the reference
-CLI's z-score-both convention) and inverted on predict, so the estimator
-consumes and produces raw-unit data.
+CLI's z-score-both convention) and inverted on predict, so estimators
+consume and produce raw-unit data.
+
+Families: PLSRegressor (kernel 1/2, NIPALS, SIMPLS), SPLSRegressor
+(sparse / variable-selecting), OPLSRegressor (orthogonal-filtered),
+KPLSRegressor (nonlinear RKHS), plus PLSDAClassifier in models/plsda.py.
 """
 
 from __future__ import annotations
@@ -19,7 +23,53 @@ from pls_tpu.preprocess import ZScorer
 from pls_tpu.types import KERNEL_TYPE1, METHOD
 
 
-class PLSRegressor:
+class _EstimatorBase:
+    """Shared sklearn-protocol plumbing: parameter dict, internal
+    z-scoring, and uniform-average R² scoring."""
+
+    _params: tuple[str, ...] = ()
+
+    def get_params(self, deep: bool = True) -> dict:
+        return {k: getattr(self, k) for k in self._params}
+
+    def set_params(self, **params):
+        for k, v in params.items():
+            if k not in self._params:
+                raise ValueError(f"unknown parameter {k}")
+            setattr(self, k, v)
+        return self
+
+    def _scale_fit(self, X, y):
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+        if y.ndim == 1:
+            y = y[:, None]
+        if self.scale:
+            self._x_scaler = ZScorer.fit(X)
+            self._y_scaler = ZScorer.fit(y)
+            return self._x_scaler.transform(X), self._y_scaler.transform(y)
+        self._x_scaler = self._y_scaler = None
+        return X, y
+
+    def _scale_x(self, X):
+        X = jnp.asarray(X)
+        return self._x_scaler.transform(X) if self._x_scaler is not None else X
+
+    def _unscale_y(self, yz):
+        return self._y_scaler.inverse(yz) if self._y_scaler is not None else yz
+
+    def score(self, X, y) -> float:
+        """R² of prediction (uniform average over responses)."""
+        y = np.asarray(y)
+        if y.ndim == 1:
+            y = y[:, None]
+        pred = np.asarray(self.predict(X)).reshape(y.shape)
+        ss_res = np.sum((y - pred) ** 2, axis=0)
+        ss_tot = np.sum((y - y.mean(axis=0)) ** 2, axis=0)
+        return float(np.mean(1.0 - ss_res / ss_tot))
+
+
+class PLSRegressor(_EstimatorBase):
     """PLS regression with sklearn-protocol ergonomics.
 
     Parameters
@@ -29,6 +79,8 @@ class PLSRegressor:
     scale : z-score X and y internally (reference CLI convention).
     power_iters / precision : forwarded to the fitter.
     """
+
+    _params = ("n_components", "method", "scale", "power_iters", "precision")
 
     def __init__(
         self,
@@ -44,36 +96,8 @@ class PLSRegressor:
         self.power_iters = power_iters
         self.precision = precision
 
-    # -- sklearn protocol ---------------------------------------------------
-    def get_params(self, deep: bool = True) -> dict:
-        return {
-            "n_components": self.n_components,
-            "method": self.method,
-            "scale": self.scale,
-            "power_iters": self.power_iters,
-            "precision": self.precision,
-        }
-
-    def set_params(self, **params) -> "PLSRegressor":
-        for k, v in params.items():
-            if not hasattr(self, k):
-                raise ValueError(f"unknown parameter {k}")
-            setattr(self, k, v)
-        return self
-
     def fit(self, X, y) -> "PLSRegressor":
-        X = jnp.asarray(X)
-        y = jnp.asarray(y)
-        if y.ndim == 1:
-            y = y[:, None]
-        if self.scale:
-            self._x_scaler = ZScorer.fit(X)
-            self._y_scaler = ZScorer.fit(y)
-            Xz = self._x_scaler.transform(X)
-            yz = self._y_scaler.transform(y)
-        else:
-            self._x_scaler = self._y_scaler = None
-            Xz, yz = X, y
+        Xz, yz = self._scale_fit(X, y)
         self._fit = _fit(
             Xz, yz, self.n_components, self.method,
             power_iters=self.power_iters, precision=self.precision,
@@ -82,33 +106,161 @@ class PLSRegressor:
         return self
 
     def predict(self, X) -> np.ndarray:
-        X = jnp.asarray(X)
-        if self._x_scaler is not None:
-            X = self._x_scaler.transform(X)
-        yz = X @ jnp.asarray(self.coef_)
-        if self._y_scaler is not None:
-            yz = self._y_scaler.inverse(yz)
-        return np.asarray(yz)
-
-    def score(self, X, y) -> float:
-        """R² of prediction (uniform average over responses)."""
-        y = np.asarray(y)
-        if y.ndim == 1:
-            y = y[:, None]
-        pred = self.predict(X)
-        ss_res = np.sum((y - pred) ** 2, axis=0)
-        ss_tot = np.sum((y - y.mean(axis=0)) ** 2, axis=0)
-        return float(np.mean(1.0 - ss_res / ss_tot))
+        yz = self._scale_x(X) @ jnp.asarray(self.coef_)
+        return np.asarray(self._unscale_y(yz))
 
     def transform(self, X) -> np.ndarray:
         """Project X into the latent score space (n, n_components)."""
-        X = jnp.asarray(X)
-        if self._x_scaler is not None:
-            X = self._x_scaler.transform(X)
-        return np.asarray(X @ self._fit.R)
+        return np.asarray(self._scale_x(X) @ self._fit.R)
 
     @property
     def vip_(self) -> np.ndarray:
         """Variable importance in projection (methods that store scores;
         for KERNEL_TYPE2 use pls_tpu.vip(fit, X) directly)."""
         return np.asarray(vip(self._fit))
+
+
+class SPLSRegressor(_EstimatorBase):
+    """Sparse PLS regression (mixOmics keepX formulation, models/sparse.py).
+
+    keep_x / keep_y : variables retained per component (int or per-component
+    tuple); keep_x=None keeps all (dense NIPALS limit).
+    After fit: `selected_` boolean support mask, `coef_`, `vip_`.
+    """
+
+    _params = ("n_components", "keep_x", "keep_y", "n_iter", "scale", "precision")
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        keep_x: int | tuple[int, ...] | None = None,
+        keep_y: int | tuple[int, ...] | None = None,
+        n_iter: int = 20,
+        scale: bool = True,
+        precision: str | None = "highest",
+    ):
+        self.n_components = n_components
+        self.keep_x = keep_x
+        self.keep_y = keep_y
+        self.n_iter = n_iter
+        self.scale = scale
+        self.precision = precision
+
+    def fit(self, X, y) -> "SPLSRegressor":
+        from pls_tpu.models.sparse import fit_spls, selected_variables
+
+        Xz, yz = self._scale_fit(X, y)
+        keep_x = Xz.shape[1] if self.keep_x is None else self.keep_x
+        self._fit = fit_spls(
+            Xz, yz, self.n_components, keep_x, self.keep_y,
+            n_iter=self.n_iter, precision=self.precision,
+        )
+        self.coef_ = np.asarray(coefficients(self._fit))
+        self.selected_ = np.asarray(selected_variables(self._fit))
+        return self
+
+    def predict(self, X) -> np.ndarray:
+        yz = self._scale_x(X) @ jnp.asarray(self.coef_)
+        return np.asarray(self._unscale_y(yz))
+
+    def transform(self, X) -> np.ndarray:
+        return np.asarray(self._scale_x(X) @ self._fit.R)
+
+    @property
+    def vip_(self) -> np.ndarray:
+        return np.asarray(vip(self._fit))
+
+
+class OPLSRegressor(_EstimatorBase):
+    """OPLS regression (models/opls.py): strips `n_ortho` Y-orthogonal
+    components from X before an `n_components` predictive fit.
+
+    After fit: `r2x_ortho_` (X-variance removed per orthogonal component);
+    `transform_ortho(X)` returns the orthogonal scores of new data."""
+
+    _params = ("n_ortho", "n_components", "method", "scale", "precision")
+
+    def __init__(
+        self,
+        n_ortho: int = 1,
+        n_components: int = 1,
+        method: METHOD = KERNEL_TYPE1,
+        scale: bool = True,
+        precision: str | None = "highest",
+    ):
+        self.n_ortho = n_ortho
+        self.n_components = n_components
+        self.method = method
+        self.scale = scale
+        self.precision = precision
+
+    def fit(self, X, y) -> "OPLSRegressor":
+        from pls_tpu.models.opls import fit_opls
+
+        Xz, yz = self._scale_fit(X, y)
+        self._fit = fit_opls(
+            Xz, yz, self.n_ortho, self.n_components, self.method,
+            precision=self.precision,
+        )
+        self.r2x_ortho_ = np.asarray(self._fit.r2x_o)
+        return self
+
+    def predict(self, X) -> np.ndarray:
+        from pls_tpu.models.opls import predict
+
+        yz = predict(self._fit, self._scale_x(X))
+        return np.asarray(self._unscale_y(yz))
+
+    def transform_ortho(self, X) -> np.ndarray:
+        """Orthogonal-component scores of new data (n, n_ortho)."""
+        from pls_tpu.models.opls import correct
+
+        _, T_o = correct(self._fit, self._scale_x(X))
+        return np.asarray(T_o)
+
+
+class KPLSRegressor(_EstimatorBase):
+    """Nonlinear kernel PLS regression (models/kpls.py, Rosipal & Trejo).
+
+    kernel : "rbf" | "poly" | "linear"; gamma defaults to 1/K.
+    """
+
+    _params = (
+        "n_components", "kernel", "gamma", "degree", "coef0", "scale",
+        "precision",
+    )
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        kernel: str = "rbf",
+        gamma: float | None = None,
+        degree: int = 3,
+        coef0: float = 1.0,
+        scale: bool = True,
+        precision: str | None = "highest",
+    ):
+        self.n_components = n_components
+        self.kernel = kernel
+        self.gamma = gamma
+        self.degree = degree
+        self.coef0 = coef0
+        self.scale = scale
+        self.precision = precision
+
+    def fit(self, X, y) -> "KPLSRegressor":
+        from pls_tpu.models.kpls import fit_kpls
+
+        Xz, yz = self._scale_fit(X, y)
+        self._fit = fit_kpls(
+            Xz, yz, self.n_components, self.kernel,
+            gamma=self.gamma, degree=self.degree, coef0=self.coef0,
+            precision=self.precision,
+        )
+        return self
+
+    def predict(self, X) -> np.ndarray:
+        from pls_tpu.models.kpls import predict_kpls
+
+        yz = predict_kpls(self._fit, self._scale_x(X))
+        return np.asarray(self._unscale_y(yz))

@@ -84,6 +84,7 @@ from pls_tpu.models.streaming import (
     fit_streaming,
     fit_streaming_csv,
 )
+from pls_tpu.tune import grid_search_cv, kfold_split, tune_spls_keepx, tune_kpls
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import (
@@ -166,6 +167,10 @@ __all__ = [
     "fit_streaming",
     "fit_streaming_csv",
     "stream_matrix_file",
+    "grid_search_cv",
+    "kfold_split",
+    "tune_spls_keepx",
+    "tune_kpls",
     "fit_spls",
     "selected_variables",
     "KPLSFit",

@@ -85,6 +85,7 @@ from pls_tpu.models.streaming import (
     fit_streaming_csv,
 )
 from pls_tpu.tune import grid_search_cv, kfold_split, tune_spls_keepx, tune_kpls
+from pls_tpu.utils.checkpoint import save_fit, load_fit, register_checkpointable
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import (
@@ -167,6 +168,9 @@ __all__ = [
     "fit_streaming",
     "fit_streaming_csv",
     "stream_matrix_file",
+    "save_fit",
+    "load_fit",
+    "register_checkpointable",
     "grid_search_cv",
     "kfold_split",
     "tune_spls_keepx",

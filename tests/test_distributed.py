@@ -141,3 +141,54 @@ class TestShardedLOO:
         np.testing.assert_allclose(
             np.asarray(sh.errors), np.asarray(local.errors), atol=1e-10
         )
+
+
+class TestExtendedFamiliesSharded:
+    """The extension families run unchanged on row-sharded inputs: their
+    fits are jitted pure functions, so GSPMD partitions the X-streaming
+    matvecs and inserts the psums — no family-specific sharding code."""
+
+    def _row_shard(self, X, Y, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("rows", None))
+        return jax.device_put(X, sh), jax.device_put(Y, sh)
+
+    def test_opls_row_sharded(self, data):
+        from pls_tpu.models import opls
+
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(X, Y, mesh)
+        ref = opls.fit_opls(X, Y, 2, 1)
+        sh = opls.fit_opls(Xs, Ys, 2, 1)
+        np.testing.assert_allclose(
+            np.asarray(opls.predict(sh, X)), np.asarray(opls.predict(ref, X)),
+            atol=1e-10,
+        )
+
+    def test_spls_row_sharded(self, data):
+        from pls_tpu.models.sparse import fit_spls
+
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(X, Y, mesh)
+        ref = fit_spls(X, Y, 2, keep_x=10)
+        sh = fit_spls(Xs, Ys, 2, keep_x=10)
+        np.testing.assert_allclose(
+            np.asarray(sh.W), np.asarray(ref.W), atol=1e-10
+        )
+
+    def test_kpls_row_sharded(self, data):
+        from pls_tpu.models.kpls import fit_kpls, predict_kpls
+
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(X, Y, mesh)
+        ref = fit_kpls(X, Y, 3, "rbf")
+        sh = fit_kpls(Xs, Ys, 3, "rbf")
+        np.testing.assert_allclose(
+            np.asarray(predict_kpls(sh, X)),
+            np.asarray(predict_kpls(ref, X)),
+            atol=1e-9,
+        )

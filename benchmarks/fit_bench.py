@@ -64,8 +64,14 @@ def main() -> int:
         return min(run() for _ in range(reps))
 
     out = {"backend": backend, "N": N, "K": K, "M": M}
-    for use_pallas, label in [(True, "pallas"), (False, "xla")]:
+    for use_pallas, label in [
+        ("unroll", "pallas_unroll"), (True, "pallas_scan"), (False, "xla"),
+    ]:
         if use_pallas and backend == "cpu":
+            continue
+        if use_pallas is True and not os.environ.get("FIT_BENCH_SCAN"):
+            # pallas-in-scan takes ~20 min to compile on remote-compile
+            # relays (docs/PERF.md); opt in via FIT_BENCH_SCAN=1
             continue
         t_s = time_fit(args.a_short, use_pallas)
         t_l = time_fit(args.a_long, use_pallas)

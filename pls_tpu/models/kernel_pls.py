@@ -75,8 +75,11 @@ def fit(
          CPU; None to use the session default, e.g. bf16-on-MXU for speed).
       use_pallas: KERNEL_TYPE1 only — run the per-component (t, tt, p)
          X-streaming pass as the fused Pallas kernel (ops/deflate.py),
-         halving HBM traffic.  None = auto (Pallas on TPU when the row
-         tile fits VMEM).
+         halving HBM traffic.  False (default; see code note), True
+         (kernel inside the component lax.scan), or "unroll" (kernel in
+         an unrolled component loop — A top-level pallas_calls, which
+         remote-compile TPU relays handle in seconds where the
+         pallas-in-scan program takes ~20 min).
 
     Returns: PLSFit pytree (W, P, Q, R, T, method).
     """
@@ -102,6 +105,12 @@ def fit(
         Y = Y * w
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
+        unroll = use_pallas == "unroll"
+        if unroll:
+            # unrolled component loop: A identical top-level pallas_call
+            # programs instead of one pallas-in-scan — much friendlier to
+            # remote-compile TPU setups (see use_pallas=None note below)
+            use_pallas = True
         if use_pallas is None:
             # Opt-in (pass use_pallas=True): the fused kernel halves the
             # fit's HBM traffic and is validated in interpret mode and as
@@ -114,7 +123,7 @@ def fit(
         return _fit_kernel(
             X, Y, A, type1=(method == METHOD.KERNEL_TYPE1),
             power_iters=power_iters, precision=precision,
-            use_pallas=use_pallas,
+            use_pallas=bool(use_pallas), unroll=unroll,
         )
     if method == METHOD.NIPALS:
         from pls_tpu.models.nipals import fit_nipals
@@ -137,7 +146,9 @@ def _prec_ctx(precision: str | None):
 
 @partial(
     jax.jit,
-    static_argnames=("A", "type1", "power_iters", "precision", "use_pallas"),
+    static_argnames=(
+        "A", "type1", "power_iters", "precision", "use_pallas", "unroll",
+    ),
 )
 def _fit_kernel(
     X: jnp.ndarray,
@@ -147,6 +158,7 @@ def _fit_kernel(
     power_iters: int | None,
     precision: str | None,
     use_pallas: bool = False,
+    unroll: bool = False,
 ) -> PLSFit:
     """Kernel algorithms #1/#2 as a scan over components.
 
@@ -199,9 +211,18 @@ def _fit_kernel(
         # derive the zero buffers from the data so their device-varying
         # status matches the carry updates under shard_map manual axes
         zbuf = jnp.zeros((A, K), dtype) + XY0[0, 0] * 0
-        (XYf, Pb, Rb), (Ws, Qs, Ts) = jax.lax.scan(
-            step, (XY0, zbuf, zbuf), jnp.arange(A)
-        )
+        if unroll:
+            carry = (XY0, zbuf, zbuf)
+            outs = []
+            for a in range(A):
+                carry, out = step(carry, a)
+                outs.append(out)
+            XYf, Pb, Rb = carry
+            Ws, Qs, Ts = (jnp.stack(z) for z in zip(*outs))
+        else:
+            (XYf, Pb, Rb), (Ws, Qs, Ts) = jax.lax.scan(
+                step, (XY0, zbuf, zbuf), jnp.arange(A)
+            )
 
     return PLSFit(
         W=Ws.T,

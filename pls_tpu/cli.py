@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", metavar="PATH", default=None,
                    help="also write a structured JSON report")
     p.add_argument(
+        "--use-pallas", choices=["off", "scan", "unroll"], default="off",
+        help="fused deflation kernel in the fit (TPU): 'unroll' is the "
+        "fast-compiling production path (docs/PERF.md)",
+    )
+    p.add_argument(
         "--format", choices=["real", "eigen-complex"], default="real",
         dest="fmt",
         help="matrix rendering in print_state: real numbers (default) or "
@@ -124,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         alpha=args.alpha,
         json_out=args.json,
         complex_format=(args.fmt == "eigen-complex"),
+        use_pallas=args.use_pallas,
     )
 
     try:

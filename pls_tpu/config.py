@@ -30,6 +30,7 @@ class PLSRunConfig:
     alpha: float = 0.1  # Wilcoxon selector level (pls.h:152)
     json_out: str | None = None
     complex_format: bool = False  # Eigen '(re,0)' tuples for byte diffing
+    use_pallas: str = "off"  # "off" | "scan" | "unroll" (docs/PERF.md)
     extra: dict = field(default_factory=dict)
 
 
@@ -58,7 +59,12 @@ def run_pipeline(cfg: PLSRunConfig, *, file=None) -> dict:
     X = colwise_z_scores(jnp.asarray(read_matrix_file(cfg.x_file), dtype))
     Y = colwise_z_scores(jnp.asarray(read_matrix_file(cfg.y_file), dtype))
 
-    model = PLSModel(X, Y, cfg.method, cfg.num_components)
+    model = PLSModel(
+        X, Y, cfg.method, cfg.num_components,
+        use_pallas={"off": None, "scan": True, "unroll": "unroll"}[
+            cfg.use_pallas
+        ],
+    )
     model.print_state(file=file, complex_format=cfg.complex_format)
     model.print_explained_variance(X, Y, file=file)
 

@@ -48,6 +48,7 @@ class PLSModel:
         dtype=None,
         power_iters: int | None = None,
         precision: str | None = "highest",
+        use_pallas: bool | str | None = None,
         _fit_state: PLSFit | None = None,
     ):
         X = jnp.asarray(X, dtype=dtype)
@@ -71,7 +72,11 @@ class PLSModel:
         self._power_iters = power_iters
         self._precision = precision
         self._fit = (
-            _fit(X, Y, A, method, power_iters=power_iters, precision=precision)
+            _fit(
+                X, Y, A, method,
+                power_iters=power_iters, precision=precision,
+                use_pallas=use_pallas,
+            )
             if _fit_state is None
             else _fit_state
         )

@@ -19,14 +19,25 @@ GOLDEN = REPO / "tests" / "golden"
 REF = Path("/root/reference")
 
 
+_XLA_LOG = re.compile(r"^(?:[EWIF]\d{4} |WARNING:)")
+
+
 def run_cli(*args, timeout=900):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
-    return subprocess.run(
+    r = subprocess.run(
         [sys.executable, "-m", "pls_tpu", *args],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=timeout,
     )
+    # XLA's C++ runtime may interleave glog lines (e.g. cpu_aot_loader
+    # notices when the persistent compile cache was built on another
+    # machine) into stderr; they are not CLI output — drop them before
+    # parsing the report tables.
+    r.stderr = "".join(
+        ln for ln in r.stderr.splitlines(keepends=True) if not _XLA_LOG.match(ln)
+    )
+    return r
 
 
 def test_bad_argc_exits_100():

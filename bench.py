@@ -39,12 +39,73 @@ def log(msg: str) -> None:
     print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
 
 
+def supervise() -> int:
+    """Run the measurement in a child process with a watchdog.
+
+    Remote-relay TPU attachment can transiently stall for minutes inside
+    device init or the first compile (observed: >6 min hang that succeeds
+    in ~5 s on retry).  A hang in-process would leave the driver with no
+    JSON line at all, so the measurement runs in a child with a timeout;
+    on stall we kill the whole process group and retry, finally falling
+    back to the CPU backend so SOME valid line is always produced.
+    """
+    import signal
+    import subprocess
+
+    budget = float(os.environ.get("PLS_BENCH_BUDGET_SEC", "420"))
+    attempts = [
+        ({}, budget * 0.45),
+        ({}, budget * 0.35),
+        ({"JAX_PLATFORMS": "cpu"}, budget * 0.2),  # last resort: CPU
+    ]
+    for extra_env, tmo in attempts:
+        env = dict(os.environ, PLS_BENCH_INNER="1", **extra_env)
+        env["PLS_BENCH_BUDGET_SEC"] = str(max(tmo - 30, 30))
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE,
+            env=env,
+            start_new_session=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=max(tmo, 60))
+        except subprocess.TimeoutExpired:
+            log(f"watchdog: measurement stalled >{tmo:.0f}s, killing group")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            continue
+        line = next(
+            (
+                ln
+                for ln in out.decode(errors="replace").splitlines()
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        log(f"watchdog: child exited rc={proc.returncode}, retrying")
+    log("watchdog: all attempts failed")
+    return 1
+
+
 def main() -> int:
     from pls_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
     import jax
+
+    # sitecustomize in this image force-registers the accelerator plugin,
+    # defeating env-level JAX_PLATFORMS=cpu; honor it programmatically so
+    # the supervisor's CPU-fallback attempt actually lands on CPU.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from pls_tpu.ops.deflate import (
@@ -152,4 +213,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("PLS_BENCH_INNER"):
+        sys.exit(main())
+    sys.exit(supervise())

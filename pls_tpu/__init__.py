@@ -93,6 +93,18 @@ from pls_tpu.estimator import (
     SPLSRegressor,
     OPLSRegressor,
     KPLSRegressor,
+    PLSCanonical,
+    CCA,
+    PLSSVD,
+)
+from pls_tpu.models.crossdecomp import (
+    CDFit,
+    fit_plscanonical,
+    fit_cca,
+    fit_plssvd,
+    cd_coefficients,
+    cd_transform,
+    cd_predict,
 )
 from pls_tpu.models.plsda import PLSDAClassifier
 from pls_tpu.models.sparse import fit_spls, selected_variables
@@ -162,6 +174,16 @@ __all__ = [
     "SPLSRegressor",
     "OPLSRegressor",
     "KPLSRegressor",
+    "PLSCanonical",
+    "CCA",
+    "PLSSVD",
+    "CDFit",
+    "fit_plscanonical",
+    "fit_cca",
+    "fit_plssvd",
+    "cd_coefficients",
+    "cd_transform",
+    "cd_predict",
     "PLSDAClassifier",
     "StatsAccumulator",
     "collect_moments",

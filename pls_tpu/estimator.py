@@ -264,3 +264,135 @@ class KPLSRegressor(_EstimatorBase):
 
         yz = predict_kpls(self._fit, self._scale_x(X))
         return np.asarray(self._unscale_y(yz))
+
+
+class _CrossDecompBase(_EstimatorBase):
+    """Shared plumbing for the two-block cross-decomposition estimators.
+
+    Always centers X and Y (the algebra requires it); `scale=True`
+    additionally divides by the column stdevs, matching the convention of
+    the regression estimators above.
+    """
+
+    def _center_fit(self, X, y):
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+        if y.ndim == 1:
+            y = y[:, None]
+        if self.scale:
+            self._x_scaler = ZScorer.fit(X)
+            self._y_scaler = ZScorer.fit(y)
+        else:
+            self._x_scaler = ZScorer(
+                mean=jnp.mean(X, axis=0), stdev=jnp.ones((X.shape[1],), X.dtype)
+            )
+            self._y_scaler = ZScorer(
+                mean=jnp.mean(y, axis=0), stdev=jnp.ones((y.shape[1],), y.dtype)
+            )
+        return self._x_scaler.transform(X), self._y_scaler.transform(y)
+
+    def _finalize(self):
+        from pls_tpu.models.crossdecomp import cd_coefficients
+
+        f = self._fit
+        self.x_weights_ = np.asarray(f.W)
+        self.y_weights_ = np.asarray(f.C)
+        self.x_loadings_ = np.asarray(f.P)
+        self.y_loadings_ = np.asarray(f.Q)
+        self.x_scores_ = np.asarray(f.T)
+        self.y_scores_ = np.asarray(f.U)
+        self.x_rotations_ = np.asarray(f.R)
+        self.y_rotations_ = np.asarray(f.Ry)
+        self.coef_ = np.asarray(cd_coefficients(f))  # (K, M), centered units
+        return self
+
+    def transform(self, X, y=None):
+        xs = np.asarray(self._scale_x(X) @ self._fit.R)
+        if y is None:
+            return xs
+        y = jnp.asarray(y)
+        if y.ndim == 1:
+            y = y[:, None]
+        ys = np.asarray(self._y_scaler.transform(y) @ self._fit.Ry)
+        return xs, ys
+
+    def predict(self, X) -> np.ndarray:
+        yz = self._scale_x(X) @ jnp.asarray(self.coef_)
+        return np.asarray(self._unscale_y(yz))
+
+
+class PLSCanonical(_CrossDecompBase):
+    """Two-block mode-A PLS with canonical (symmetric) deflation
+    (models/crossdecomp.py); the sklearn-PLSCanonical counterpart."""
+
+    _params = ("n_components", "scale", "tol", "max_iter")
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        scale: bool = True,
+        tol: float = 1e-6,
+        max_iter: int = 500,
+    ):
+        self.n_components = n_components
+        self.scale = scale
+        self.tol = tol
+        self.max_iter = max_iter
+
+    def fit(self, X, y) -> "PLSCanonical":
+        from pls_tpu.models.crossdecomp import fit_plscanonical
+
+        Xz, yz = self._center_fit(X, y)
+        self._fit = fit_plscanonical(
+            Xz, yz, self.n_components, tol=self.tol, max_iter=self.max_iter
+        )
+        return self._finalize()
+
+
+class CCA(_CrossDecompBase):
+    """Canonical correlation analysis via mode-B two-block power iteration
+    (models/crossdecomp.py); the sklearn-CCA counterpart."""
+
+    _params = ("n_components", "scale", "tol", "max_iter")
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        scale: bool = True,
+        tol: float = 1e-6,
+        max_iter: int = 500,
+    ):
+        self.n_components = n_components
+        self.scale = scale
+        self.tol = tol
+        self.max_iter = max_iter
+
+    def fit(self, X, y) -> "CCA":
+        from pls_tpu.models.crossdecomp import fit_cca
+
+        Xz, yz = self._center_fit(X, y)
+        self._fit = fit_cca(
+            Xz, yz, self.n_components, tol=self.tol, max_iter=self.max_iter
+        )
+        return self._finalize()
+
+
+class PLSSVD(_CrossDecompBase):
+    """One-shot PLS-SVD (top singular triplets of XᵀY); transform-only —
+    no regression path, so no predict()."""
+
+    _params = ("n_components", "scale")
+
+    def __init__(self, n_components: int = 2, scale: bool = True):
+        self.n_components = n_components
+        self.scale = scale
+
+    def fit(self, X, y) -> "PLSSVD":
+        from pls_tpu.models.crossdecomp import fit_plssvd
+
+        Xz, yz = self._center_fit(X, y)
+        self._fit = fit_plssvd(Xz, yz, self.n_components)
+        return self._finalize()
+
+    def predict(self, X):  # pragma: no cover - guard
+        raise AttributeError("PLSSVD is transform-only (no regression path)")

@@ -53,12 +53,20 @@ def supervise() -> int:
     import subprocess
 
     budget = float(os.environ.get("PLS_BENCH_BUDGET_SEC", "420"))
+    start = time.monotonic()
     attempts = [
         ({}, budget * 0.45),
         ({}, budget * 0.35),
         ({"JAX_PLATFORMS": "cpu"}, budget * 0.2),  # last resort: CPU
     ]
     for extra_env, tmo in attempts:
+        # honor the TOTAL budget: cap each attempt to the unspent remainder
+        # (kill/retry overhead must not stretch wall time past the contract)
+        remaining = budget - (time.monotonic() - start)
+        if remaining <= 5:
+            log("watchdog: budget exhausted before attempt")
+            break
+        tmo = min(tmo, remaining)
         env = dict(os.environ, PLS_BENCH_INNER="1", **extra_env)
         env["PLS_BENCH_BUDGET_SEC"] = str(max(tmo - 30, 30))
         proc = subprocess.Popen(
@@ -68,7 +76,7 @@ def supervise() -> int:
             start_new_session=True,
         )
         try:
-            out, _ = proc.communicate(timeout=max(tmo, 60))
+            out, _ = proc.communicate(timeout=tmo)
         except subprocess.TimeoutExpired:
             log(f"watchdog: measurement stalled >{tmo:.0f}s, killing group")
             try:

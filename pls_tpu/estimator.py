@@ -58,6 +58,32 @@ class _EstimatorBase:
     def _unscale_y(self, yz):
         return self._y_scaler.inverse(yz) if self._y_scaler is not None else yz
 
+    def _set_coef(self, coef_std) -> None:
+        """Expose sklearn-compatible `coef_` and `intercept_`.
+
+        `coef_std` is the (K, M) coefficient matrix in internal
+        (scaled/centered) units.  Following sklearn's convention
+        (`y = (X - x_mean) @ coef_.T + intercept_`), the public `coef_`
+        is (n_targets, n_features) in raw units: each column rescaled by
+        y_std and divided by x_std.  The internal-units matrix stays
+        available as `_coef_std` for the scaled predict path.
+        """
+        self._coef_std = np.asarray(coef_std)
+        K, M = self._coef_std.shape
+        if self._x_scaler is not None:
+            x_std = np.asarray(self._x_scaler.stdev).reshape(K)
+            x_mean = np.asarray(self._x_scaler.mean).reshape(K)
+        else:
+            x_std, x_mean = np.ones(K), np.zeros(K)
+        if self._y_scaler is not None:
+            y_std = np.asarray(self._y_scaler.stdev).reshape(M)
+            y_mean = np.asarray(self._y_scaler.mean).reshape(M)
+        else:
+            y_std, y_mean = np.ones(M), np.zeros(M)
+        self.coef_ = (self._coef_std * y_std[None, :]).T / x_std[None, :]
+        self.intercept_ = y_mean
+        self._x_mean = x_mean
+
     def score(self, X, y) -> float:
         """R² of prediction (uniform average over responses)."""
         y = np.asarray(y)
@@ -78,6 +104,11 @@ class PLSRegressor(_EstimatorBase):
     method : pls_tpu METHOD (kernel 1/2, NIPALS, SIMPLS).
     scale : z-score X and y internally (reference CLI convention).
     power_iters / precision : forwarded to the fitter.
+
+    After fit, `coef_` (n_targets, n_features) and `intercept_` follow
+    sklearn's raw-unit convention: ``y = (X - X.mean(0)) @ coef_.T +
+    intercept_`` (verified against sklearn.PLSRegression in
+    tests/test_estimator.py).
     """
 
     _params = ("n_components", "method", "scale", "power_iters", "precision")
@@ -102,11 +133,11 @@ class PLSRegressor(_EstimatorBase):
             Xz, yz, self.n_components, self.method,
             power_iters=self.power_iters, precision=self.precision,
         )
-        self.coef_ = np.asarray(coefficients(self._fit))
+        self._set_coef(coefficients(self._fit))
         return self
 
     def predict(self, X) -> np.ndarray:
-        yz = self._scale_x(X) @ jnp.asarray(self.coef_)
+        yz = self._scale_x(X) @ jnp.asarray(self._coef_std)
         return np.asarray(self._unscale_y(yz))
 
     def transform(self, X) -> np.ndarray:
@@ -155,12 +186,12 @@ class SPLSRegressor(_EstimatorBase):
             Xz, yz, self.n_components, keep_x, self.keep_y,
             n_iter=self.n_iter, precision=self.precision,
         )
-        self.coef_ = np.asarray(coefficients(self._fit))
+        self._set_coef(coefficients(self._fit))
         self.selected_ = np.asarray(selected_variables(self._fit))
         return self
 
     def predict(self, X) -> np.ndarray:
-        yz = self._scale_x(X) @ jnp.asarray(self.coef_)
+        yz = self._scale_x(X) @ jnp.asarray(self._coef_std)
         return np.asarray(self._unscale_y(yz))
 
     def transform(self, X) -> np.ndarray:
@@ -271,7 +302,9 @@ class _CrossDecompBase(_EstimatorBase):
 
     Always centers X and Y (the algebra requires it); `scale=True`
     additionally divides by the column stdevs, matching the convention of
-    the regression estimators above.
+    the regression estimators above.  `coef_`/`intercept_` follow
+    sklearn's raw-unit (n_targets, n_features) convention (see
+    `_EstimatorBase._set_coef`).
     """
 
     def _center_fit(self, X, y):
@@ -303,7 +336,7 @@ class _CrossDecompBase(_EstimatorBase):
         self.y_scores_ = np.asarray(f.U)
         self.x_rotations_ = np.asarray(f.R)
         self.y_rotations_ = np.asarray(f.Ry)
-        self.coef_ = np.asarray(cd_coefficients(f))  # (K, M), centered units
+        self._set_coef(cd_coefficients(f))
         return self
 
     def transform(self, X, y=None):
@@ -317,7 +350,7 @@ class _CrossDecompBase(_EstimatorBase):
         return xs, ys
 
     def predict(self, X) -> np.ndarray:
-        yz = self._scale_x(X) @ jnp.asarray(self.coef_)
+        yz = self._scale_x(X) @ jnp.asarray(self._coef_std)
         return np.asarray(self._unscale_y(yz))
 
 

@@ -92,10 +92,12 @@ def _power_pair(Xd, Yd, mode_b: bool, tol: float, max_iter: int):
 
     def body(state):
         _w_old, w_prev, _c, u, it = state
-        w = Xc @ u if mode_b else Xc @ u / (u @ u)
+        # eps guards keep the mode-A quotients finite if a score collapses
+        # to zero (e.g. a constant Y column) instead of emitting NaNs
+        w = Xc @ u if mode_b else Xc @ u / (u @ u + eps)
         w = w / (jnp.sqrt(w @ w) + eps)
         t = Xd @ w
-        c = Yc @ t if mode_b else Yc @ t / (t @ t)
+        c = Yc @ t if mode_b else Yc @ t / (t @ t + eps)
         c = c / (jnp.sqrt(c @ c) + eps)
         u = Yd @ c / (c @ c + eps)
         return (w_prev, w, c, u, it + 1)
@@ -109,7 +111,11 @@ def _power_pair(Xd, Yd, mode_b: bool, tol: float, max_iter: int):
     # cannot converge against the initializer
 
     w0 = jnp.full((K,), jnp.asarray(100.0, dtype))
-    u0 = Yd[:, 0]
+    # seed from the FIRST Y column with non-negligible entries (sklearn's
+    # convention): a constant (centered-to-zero) column would make u0 = 0
+    # and poison the whole iteration with NaNs
+    live = jnp.any(jnp.abs(Yd) > jnp.finfo(dtype).eps, axis=0)
+    u0 = Yd[:, jnp.argmax(live)]
     state = body((w0, w0, jnp.zeros((Yd.shape[1],), dtype), u0, jnp.array(0)))
     _, w, c, _, _ = jax.lax.while_loop(cond, body, state)
     return w, c
@@ -126,8 +132,9 @@ def _fit_cd(X, Y, A: int, mode_b: bool, tol: float, max_iter: int) -> CDFit:
         w, c = _sign_fix(w, c)
         t = Xd @ w
         u = Yd @ c
-        p = (Xd.T @ t) / (t @ t)
-        q = (Yd.T @ u) / (u @ u)
+        eps = jnp.finfo(X.dtype).eps
+        p = (Xd.T @ t) / (t @ t + eps)
+        q = (Yd.T @ u) / (u @ u + eps)
         Xd = Xd - jnp.outer(t, p)
         Yd = Yd - jnp.outer(u, q)
         return (Xd, Yd), (w, c, p, q, t, u)

@@ -34,10 +34,15 @@ def test_plscanonical_matches_sklearn(scale):
     np.testing.assert_allclose(ours.y_weights_, ref.y_weights_, atol=1e-8)
     np.testing.assert_allclose(ours.x_loadings_, ref.x_loadings_, atol=1e-8)
     np.testing.assert_allclose(ours.y_loadings_, ref.y_loadings_, atol=1e-8)
-    np.testing.assert_allclose(ours.x_scores_, ref._x_scores, atol=1e-8)
-    np.testing.assert_allclose(ours.y_scores_, ref._y_scores, atol=1e-8)
+    # training-data scores via the public transform API (T = Xc R, U = Yc Ry)
+    rxs_tr, rys_tr = ref.transform(X, Y)
+    np.testing.assert_allclose(ours.x_scores_, rxs_tr, atol=1e-8)
+    np.testing.assert_allclose(ours.y_scores_, rys_tr, atol=1e-8)
     np.testing.assert_allclose(ours.x_rotations_, ref.x_rotations_, atol=1e-8)
     np.testing.assert_allclose(ours.predict(X), ref.predict(X), atol=1e-7)
+    # sklearn-compatible raw-unit coefficients and intercept
+    np.testing.assert_allclose(ours.coef_, ref.coef_, atol=1e-7)
+    np.testing.assert_allclose(ours.intercept_, ref.intercept_, atol=1e-9)
     xs, ys = ours.transform(X, Y)
     rxs, rys = ref.transform(X, Y)
     np.testing.assert_allclose(xs, rxs, atol=1e-7)
@@ -51,7 +56,7 @@ def test_cca_matches_sklearn():
     ref = sk.CCA(n_components=A).fit(X, Y)
     np.testing.assert_allclose(ours.x_weights_, ref.x_weights_, atol=1e-6)
     np.testing.assert_allclose(ours.y_weights_, ref.y_weights_, atol=1e-6)
-    np.testing.assert_allclose(ours.x_scores_, ref._x_scores, atol=1e-6)
+    np.testing.assert_allclose(ours.x_scores_, ref.transform(X), atol=1e-6)
     np.testing.assert_allclose(ours.predict(X), ref.predict(X), atol=1e-6)
 
 
@@ -98,6 +103,24 @@ def test_functional_api_jits_and_checkpoints(tmp_path):
     back = pt.load_fit(str(path))
     np.testing.assert_allclose(np.asarray(back.W), np.asarray(fit.W))
     assert back.mode == "canonical"
+
+
+def test_constant_first_y_column_not_nan():
+    """Regression: a constant first Y column (zero after centering) used to
+    seed the power iteration with u0 = 0, silently producing all-NaN
+    weights/scores in mode A and mode B."""
+    X, Y = _data(m=4, seed=6)
+    Y = np.column_stack([np.ones(X.shape[0]), Y])  # constant first column
+    for est in (pt.PLSCanonical(n_components=2, scale=False),
+                pt.CCA(n_components=2, scale=False)):
+        est.fit(X, Y)
+        assert np.isfinite(est.x_weights_).all()
+        assert np.isfinite(est.x_scores_).all()
+        assert np.isfinite(est.predict(X)).all()
+    # and the fitted directions still match sklearn's on the same data
+    ours = pt.PLSCanonical(n_components=2, scale=False).fit(X, Y)
+    ref = sk.PLSCanonical(n_components=2, scale=False).fit(X, Y)
+    np.testing.assert_allclose(ours.x_weights_, ref.x_weights_, atol=1e-6)
 
 
 def test_plssvd_estimator_has_no_predict():

@@ -17,12 +17,26 @@ def raw_nir():
 def test_fit_predict_score(raw_nir):
     X, y = raw_nir
     est = PLSRegressor(n_components=5).fit(X, y)
-    assert est.coef_.shape == (401, 1)
+    # sklearn convention: (n_targets, n_features), raw units
+    assert est.coef_.shape == (1, 401)
     pred = est.predict(X)
     assert pred.shape == (60, 1)
     # raw-unit predictions: mean near the octane mean, high train R²
     assert abs(pred.mean() - y.mean()) < 0.5
     assert est.score(X, y) > 0.97
+    # coef_/intercept_ reproduce predict under sklearn's contract:
+    # y = (X - x_mean) @ coef_.T + intercept_
+    manual = (X - X.mean(axis=0)) @ est.coef_.T + est.intercept_
+    np.testing.assert_allclose(manual, pred, rtol=1e-6, atol=1e-6)
+
+
+def test_coef_matches_sklearn(raw_nir):
+    sk = pytest.importorskip("sklearn.cross_decomposition")
+    X, y = raw_nir
+    est = PLSRegressor(n_components=5).fit(X, y)
+    ref = sk.PLSRegression(n_components=5).fit(X, y)
+    np.testing.assert_allclose(est.coef_, ref.coef_, atol=1e-6)
+    np.testing.assert_allclose(est.intercept_, ref.intercept_, atol=1e-8)
 
 
 def test_matches_manual_pipeline(raw_nir):

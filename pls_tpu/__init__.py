@@ -120,6 +120,16 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
+from pls_tpu.models.diagnostics import (
+    MonitorModel,
+    fit_monitor,
+    hotelling_t2,
+    leverage,
+    spe,
+    spe_limit,
+    t2_limit,
+    x_residuals,
+)
 
 __version__ = "0.1.0"
 
@@ -207,5 +217,13 @@ __all__ = [
     "fit_opls",
     "opls_correct",
     "opls_predict",
+    "MonitorModel",
+    "fit_monitor",
+    "hotelling_t2",
+    "leverage",
+    "spe",
+    "spe_limit",
+    "t2_limit",
+    "x_residuals",
     "__version__",
 ]

@@ -150,6 +150,20 @@ class PLSRegressor(_EstimatorBase):
         for KERNEL_TYPE2 use pls_tpu.vip(fit, X) directly)."""
         return np.asarray(vip(self._fit))
 
+    def build_monitor(self, X, alpha: float = 0.05):
+        """Build the T²/SPE admission gate (models/diagnostics.py) from
+        training data X (raw units; scaled internally).  Returns the
+        MonitorModel; afterwards `check(Xn)` flags new batches."""
+        from pls_tpu.models.diagnostics import fit_monitor
+
+        self._monitor = fit_monitor(self._fit, self._scale_x(X), alpha=alpha)
+        return self._monitor
+
+    def check(self, X) -> dict:
+        """Per-sample T²/SPE statistics + in-control flags for raw-unit X
+        (requires a prior `build_monitor` call)."""
+        return self._monitor.check(self._scale_x(X))
+
 
 class SPLSRegressor(_EstimatorBase):
     """Sparse PLS regression (mixOmics keepX formulation, models/sparse.py).

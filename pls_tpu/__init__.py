@@ -120,6 +120,13 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
+from pls_tpu.models.missing import (
+    fit_nipals_missing,
+    impute_pls,
+    nan_column_stats,
+    predict_missing,
+    scores_missing,
+)
 from pls_tpu.models.diagnostics import (
     MonitorModel,
     fit_monitor,
@@ -217,6 +224,11 @@ __all__ = [
     "fit_opls",
     "opls_correct",
     "opls_predict",
+    "fit_nipals_missing",
+    "impute_pls",
+    "nan_column_stats",
+    "predict_missing",
+    "scores_missing",
     "MonitorModel",
     "fit_monitor",
     "hotelling_t2",

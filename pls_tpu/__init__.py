@@ -120,6 +120,15 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
+from pls_tpu.models.multiblock import (
+    MBPLSFit,
+    block_importance,
+    block_scores,
+    block_weights,
+    fit_mbpls,
+    predict_mbpls,
+    super_scores,
+)
 from pls_tpu.models.missing import (
     fit_nipals_missing,
     impute_pls,
@@ -224,6 +233,13 @@ __all__ = [
     "fit_opls",
     "opls_correct",
     "opls_predict",
+    "MBPLSFit",
+    "block_importance",
+    "block_scores",
+    "block_weights",
+    "fit_mbpls",
+    "predict_mbpls",
+    "super_scores",
     "fit_nipals_missing",
     "impute_pls",
     "nan_column_stats",

@@ -73,6 +73,10 @@ from pls_tpu.cv.inference import (
     coefficient_significance,
     permutation_test,
 )
+from pls_tpu.cv.conformal import (
+    jackknife_plus_intervals,
+    split_conformal_intervals,
+)
 from pls_tpu.cv.loo import cv_loo
 from pls_tpu.cv.lso import cv_lso
 from pls_tpu.cv.newdata import cv_new_data
@@ -187,6 +191,8 @@ __all__ = [
     "jackknife_coefficients",
     "coefficient_significance",
     "permutation_test",
+    "jackknife_plus_intervals",
+    "split_conformal_intervals",
     "cv_loo",
     "cv_lso",
     "cv_new_data",

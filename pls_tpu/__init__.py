@@ -89,6 +89,7 @@ from pls_tpu.models.streaming import (
     fit_streaming_csv,
 )
 from pls_tpu.tune import grid_search_cv, kfold_split, tune_spls_keepx, tune_kpls
+from pls_tpu.export import export_model_c, load_model_c
 from pls_tpu.utils.checkpoint import save_fit, load_fit, register_checkpointable
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
@@ -222,6 +223,8 @@ __all__ = [
     "fit_streaming",
     "fit_streaming_csv",
     "stream_matrix_file",
+    "export_model_c",
+    "load_model_c",
     "save_fit",
     "load_fit",
     "register_checkpointable",

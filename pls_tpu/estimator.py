@@ -164,6 +164,20 @@ class PLSRegressor(_EstimatorBase):
         (requires a prior `build_monitor` call)."""
         return self._monitor.check(self._scale_x(X))
 
+    def export_c(self, path: str) -> None:
+        """Export for native C++ consumers (native/pls_predict.hpp):
+        raw-unit prediction operators + the T²/SPE gate if build_monitor
+        was called.  See pls_tpu/export.py for the format."""
+        from pls_tpu.export import export_model_c
+
+        export_model_c(
+            path,
+            self._fit,
+            x_scaler=self._x_scaler,
+            y_scaler=self._y_scaler,
+            monitor=getattr(self, "_monitor", None),
+        )
+
 
 class SPLSRegressor(_EstimatorBase):
     """Sparse PLS regression (mixOmics keepX formulation, models/sparse.py).

@@ -74,6 +74,7 @@ from pls_tpu.cv.inference import (
     permutation_test,
 )
 from pls_tpu.cv.conformal import (
+    cv_plus_intervals,
     jackknife_plus_intervals,
     split_conformal_intervals,
 )
@@ -192,6 +193,7 @@ __all__ = [
     "jackknife_coefficients",
     "coefficient_significance",
     "permutation_test",
+    "cv_plus_intervals",
     "jackknife_plus_intervals",
     "split_conformal_intervals",
     "cv_loo",

@@ -63,6 +63,27 @@ def test_split_conformal_coverage_and_constant_width():
     np.testing.assert_allclose(pred, (lo + hi) / 2, rtol=1e-6)
 
 
+def test_cv_plus_coverage_near_jackknife_plus():
+    X, Y = _linear_data(420, seed=6)
+    Xtr, Ytr, Xte, Yte = _split(X, Y, 120)
+    lo, hi, pred = pt.cv_plus_intervals(
+        jnp.asarray(Xtr), jnp.asarray(Ytr), jnp.asarray(Xte),
+        A=6, n_folds=10, alpha=0.1,
+    )
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    assert (hi > lo).all()
+    covered = ((Yte >= lo) & (Yte <= hi)).mean()
+    assert covered >= 0.82
+    # with n_folds = N, CV+ has the same structure as jackknife+
+    loj, hij, _ = pt.jackknife_plus_intervals(
+        jnp.asarray(Xtr), jnp.asarray(Ytr), jnp.asarray(Xte), A=6, alpha=0.1
+    )
+    # widths in the same ballpark (CV+ slightly wider on average)
+    w_cv = float(np.mean(hi - lo))
+    w_jk = float(np.mean(np.asarray(hij) - np.asarray(loj)))
+    assert 0.7 * w_jk < w_cv < 2.0 * w_jk
+
+
 def test_multiresponse_and_nir():
     from pls_tpu import datasets
 

@@ -192,3 +192,46 @@ class TestExtendedFamiliesSharded:
             np.asarray(predict_kpls(ref, X)),
             atol=1e-9,
         )
+
+    def test_missing_nipals_row_sharded(self, data):
+        from pls_tpu.models.missing import fit_nipals_missing
+
+        X, Y = data
+        Xm = np.asarray(X).copy()
+        rng = np.random.default_rng(0)
+        holes = rng.random(Xm.shape) < 0.05
+        holes[0, :] = False
+        holes[:, 0] = False
+        Xm[holes] = np.nan
+        Xm = jnp.asarray(Xm)
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(Xm, Y, mesh)
+        ref = fit_nipals_missing(Xm, Y, 3)
+        sh = fit_nipals_missing(Xs, Ys, 3)
+        np.testing.assert_allclose(
+            np.asarray(sh.W), np.asarray(ref.W), atol=1e-9
+        )
+
+    def test_mbpls_row_sharded(self, data):
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(X, Y, mesh)
+        blocks = [X[:, :10], X[:, 10:]]
+        blocks_sh = [Xs[:, :10], Xs[:, 10:]]
+        ref = pt.fit_mbpls(blocks, Y, 3)
+        sh = pt.fit_mbpls(blocks_sh, Ys, 3)
+        np.testing.assert_allclose(
+            np.asarray(pt.predict_mbpls(sh, blocks)),
+            np.asarray(pt.predict_mbpls(ref, blocks)),
+            atol=1e-10,
+        )
+
+    def test_split_conformal_row_sharded(self, data):
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(X, Y, mesh)
+        lo_r, hi_r, p_r = pt.split_conformal_intervals(X, Y, X[:5], A=3)
+        lo_s, hi_s, p_s = pt.split_conformal_intervals(Xs, Ys, X[:5], A=3)
+        np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_r), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(hi_s), np.asarray(hi_r), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_r), atol=1e-9)

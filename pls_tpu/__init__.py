@@ -90,6 +90,7 @@ from pls_tpu.models.streaming import (
     fit_streaming_csv,
 )
 from pls_tpu.models.recursive import RecursivePLS
+from pls_tpu.models.robust import fit_robust
 from pls_tpu.tune import grid_search_cv, kfold_split, tune_spls_keepx, tune_kpls
 from pls_tpu.export import export_model_c, load_model_c
 from pls_tpu.utils.checkpoint import save_fit, load_fit, register_checkpointable
@@ -222,6 +223,7 @@ __all__ = [
     "cd_predict",
     "PLSDAClassifier",
     "RecursivePLS",
+    "fit_robust",
     "StatsAccumulator",
     "collect_moments",
     "fit_streaming",

@@ -98,6 +98,7 @@ from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.estimator import (
     PLSRegressor,
+    RobustPLSRegressor,
     SPLSRegressor,
     OPLSRegressor,
     KPLSRegressor,
@@ -208,6 +209,7 @@ __all__ = [
     "vip",
     "ZScorer",
     "PLSRegressor",
+    "RobustPLSRegressor",
     "SPLSRegressor",
     "OPLSRegressor",
     "KPLSRegressor",

@@ -178,6 +178,99 @@ class PLSRegressor(_EstimatorBase):
             monitor=getattr(self, "_monitor", None),
         )
 
+    def predict_interval(
+        self,
+        X_train,
+        y_train,
+        X,
+        *,
+        alpha: float = 0.1,
+        kind: str = "jackknife+",
+        n_folds: int = 10,
+    ):
+        """Distribution-free prediction intervals (cv/conformal.py) in
+        raw units.  kind: "jackknife+" (N masked fits), "cv+" (n_folds
+        fits), or "split" (one fit).  Returns (lo, hi, pred), each
+        (n, M) ndarrays."""
+        from pls_tpu.cv import conformal as cf
+
+        # reuse the scalers learned at fit() time (no state mutation)
+        y_train = jnp.asarray(y_train)
+        if y_train.ndim == 1:
+            y_train = y_train[:, None]
+        Xz = self._scale_x(X_train)
+        yz = (
+            self._y_scaler.transform(y_train)
+            if self._y_scaler is not None
+            else y_train
+        )
+        Xn = self._scale_x(X)
+        kw = dict(alpha=alpha, method=self.method)
+        if kind == "jackknife+":
+            lo, hi, pred = cf.jackknife_plus_intervals(
+                Xz, yz, Xn, self.n_components, **kw
+            )
+        elif kind == "cv+":
+            lo, hi, pred = cf.cv_plus_intervals(
+                Xz, yz, Xn, self.n_components, n_folds=n_folds, **kw
+            )
+        elif kind == "split":
+            lo, hi, pred = cf.split_conformal_intervals(
+                Xz, yz, Xn, self.n_components, **kw
+            )
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        return tuple(
+            np.asarray(self._unscale_y(v)) for v in (lo, hi, pred)
+        )
+
+
+class RobustPLSRegressor(_EstimatorBase):
+    """Outlier-resistant PLS regression via IRPLS (models/robust.py).
+
+    loss : "huber" (soft downweight) or "bisquare" (hard rejection);
+    after fit, `sample_weight_` exposes the final IRLS weights (≈0 marks
+    the samples the fit rejected) and coef_/intercept_ follow the same
+    sklearn raw-unit convention as PLSRegressor.
+    """
+
+    _params = ("n_components", "method", "loss", "c", "n_irls", "scale")
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        method: METHOD = KERNEL_TYPE1,
+        loss: str = "huber",
+        c: float | None = None,
+        n_irls: int = 10,
+        scale: bool = True,
+    ):
+        self.n_components = n_components
+        self.method = method
+        self.loss = loss
+        self.c = c
+        self.n_irls = n_irls
+        self.scale = scale
+
+    def fit(self, X, y) -> "RobustPLSRegressor":
+        from pls_tpu.models.robust import fit_robust
+
+        Xz, yz = self._scale_fit(X, y)
+        self._fit, w = fit_robust(
+            Xz, yz, self.n_components, self.method,
+            loss=self.loss, c=self.c, n_irls=self.n_irls,
+        )
+        self.sample_weight_ = np.asarray(w)
+        self._set_coef(coefficients(self._fit))
+        return self
+
+    def predict(self, X) -> np.ndarray:
+        yz = self._scale_x(X) @ jnp.asarray(self._coef_std)
+        return np.asarray(self._unscale_y(yz))
+
+    def transform(self, X) -> np.ndarray:
+        return np.asarray(self._scale_x(X) @ self._fit.R)
+
 
 class SPLSRegressor(_EstimatorBase):
     """Sparse PLS regression (mixOmics keepX formulation, models/sparse.py).

@@ -98,3 +98,24 @@ def test_multiresponse_and_nir():
         jnp.asarray(X2), jnp.asarray(Y2), jnp.asarray(X2[:5]), A=4
     )
     assert lo2.shape == (5, 2) and hi2.shape == (5, 2) and p2.shape == (5, 2)
+
+
+def test_estimator_predict_interval_raw_units():
+    from pls_tpu.estimator import PLSRegressor
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(120, 10))
+    y = 50.0 + X @ rng.normal(size=(10, 1)) * 3.0 + 0.5 * rng.normal(size=(120, 1))
+    est = PLSRegressor(n_components=5).fit(X, y)
+    for kind in ("jackknife+", "cv+", "split"):
+        lo, hi, pred = est.predict_interval(X, y, X, alpha=0.1, kind=kind)
+        assert lo.shape == hi.shape == pred.shape == y.shape
+        assert (hi > lo).all()
+        # raw units: interval brackets the raw-unit target most of the time
+        assert ((y >= lo) & (y <= hi)).mean() > 0.8
+        if kind != "split":
+            # full-data point prediction consistent with est.predict
+            # ("split" predicts from the training-split fit by design)
+            np.testing.assert_allclose(pred, est.predict(X), rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        est.predict_interval(X, y, X, kind="bogus")

@@ -61,3 +61,20 @@ def test_unknown_loss_rejected():
     X, Y, _ = _data()
     with pytest.raises(ValueError):
         fit_robust(jnp.asarray(X), jnp.asarray(Y), 3, loss="l5")
+
+
+def test_estimator_facade():
+    from pls_tpu.estimator import RobustPLSRegressor
+
+    X, Y, _ = _data(seed=5)
+    Yc = Y + Y.mean() + 3.0  # raw units
+    Yc[7] += 40.0
+    est = RobustPLSRegressor(n_components=4, loss="bisquare").fit(X, Yc)
+    assert est.sample_weight_[7] < 0.2
+    assert est.coef_.shape == (1, 10)
+    pred = est.predict(X)
+    assert pred.shape == (80, 1)
+    # the rejected row barely influences its own prediction (no fit leak)
+    clean = np.setdiff1d(np.arange(80), [7])
+    resid = np.abs(Yc[clean] - pred[clean])
+    assert np.median(resid) < 1.0

@@ -89,6 +89,12 @@ from pls_tpu.models.streaming import (
     fit_streaming,
     fit_streaming_csv,
 )
+from pls_tpu.models.npls import (
+    NPLSFit,
+    fit_npls,
+    predict_npls,
+    scores_npls,
+)
 from pls_tpu.models.recursive import RecursivePLS
 from pls_tpu.models.robust import fit_robust
 from pls_tpu.tune import grid_search_cv, kfold_split, tune_spls_keepx, tune_kpls
@@ -224,6 +230,10 @@ __all__ = [
     "cd_transform",
     "cd_predict",
     "PLSDAClassifier",
+    "NPLSFit",
+    "fit_npls",
+    "predict_npls",
+    "scores_npls",
     "RecursivePLS",
     "fit_robust",
     "StatsAccumulator",

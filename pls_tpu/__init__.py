@@ -102,6 +102,18 @@ from pls_tpu.export import export_model_c, load_model_c
 from pls_tpu.utils.checkpoint import save_fit, load_fit, register_checkpointable
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
+from pls_tpu.spectral import (
+    snv,
+    msc,
+    MSCorrection,
+    savgol,
+    savgol_coeffs,
+    detrend,
+    normalize,
+    SNV,
+    SavitzkyGolay,
+    Detrend,
+)
 from pls_tpu.estimator import (
     PLSRegressor,
     RobustPLSRegressor,
@@ -214,6 +226,16 @@ __all__ = [
     "read_matrix_file",
     "vip",
     "ZScorer",
+    "snv",
+    "msc",
+    "MSCorrection",
+    "savgol",
+    "savgol_coeffs",
+    "detrend",
+    "normalize",
+    "SNV",
+    "SavitzkyGolay",
+    "Detrend",
     "PLSRegressor",
     "RobustPLSRegressor",
     "SPLSRegressor",

@@ -39,6 +39,17 @@ class _EstimatorBase:
             setattr(self, k, v)
         return self
 
+    def __sklearn_tags__(self):
+        # sklearn >= 1.6 Pipelines/meta-estimators query tags; delegate to
+        # sklearn's own default implementation when sklearn is installed
+        # (we deliberately don't inherit BaseEstimator — no hard dep).
+        from sklearn.base import BaseEstimator, RegressorMixin
+
+        class _Shim(RegressorMixin, BaseEstimator):
+            pass
+
+        return _Shim().__sklearn_tags__()
+
     def _scale_fit(self, X, y):
         X = jnp.asarray(X)
         y = jnp.asarray(y)

@@ -98,6 +98,14 @@ from pls_tpu.models.npls import (
 from pls_tpu.models.recursive import RecursivePLS
 from pls_tpu.models.robust import fit_robust
 from pls_tpu.tune import grid_search_cv, kfold_split, tune_spls_keepx, tune_kpls
+from pls_tpu.select import (
+    ipls,
+    ipls_forward,
+    ipls_backward,
+    interval_masks,
+    IPLSResult,
+    IPLSSelection,
+)
 from pls_tpu.export import export_model_c, load_model_c
 from pls_tpu.utils.checkpoint import save_fit, load_fit, register_checkpointable
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
@@ -226,6 +234,12 @@ __all__ = [
     "read_matrix_file",
     "vip",
     "ZScorer",
+    "ipls",
+    "ipls_forward",
+    "ipls_backward",
+    "interval_masks",
+    "IPLSResult",
+    "IPLSSelection",
     "snv",
     "msc",
     "MSCorrection",

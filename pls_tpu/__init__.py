@@ -155,6 +155,13 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
+from pls_tpu.models.o2pls import (
+    O2PLSFit,
+    fit_o2pls,
+    predict_y as o2pls_predict_y,
+    predict_x as o2pls_predict_x,
+    transform as o2pls_transform,
+)
 from pls_tpu.models.multiblock import (
     MBPLSFit,
     block_importance,
@@ -234,6 +241,11 @@ __all__ = [
     "read_matrix_file",
     "vip",
     "ZScorer",
+    "O2PLSFit",
+    "fit_o2pls",
+    "o2pls_predict_y",
+    "o2pls_predict_x",
+    "o2pls_transform",
     "ipls",
     "ipls_forward",
     "ipls_backward",

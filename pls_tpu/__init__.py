@@ -55,6 +55,8 @@ from pls_tpu.models.predict import (
     residuals,
     sse,
     explained_variance,
+    target_projection,
+    selectivity_ratio,
 )
 from pls_tpu.cv.validation import (
     validation,
@@ -241,6 +243,8 @@ __all__ = [
     "read_matrix_file",
     "vip",
     "ZScorer",
+    "target_projection",
+    "selectivity_ratio",
     "O2PLSFit",
     "fit_o2pls",
     "o2pls_predict_y",

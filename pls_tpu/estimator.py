@@ -138,10 +138,14 @@ class PLSRegressor(_EstimatorBase):
         self.power_iters = power_iters
         self.precision = precision
 
-    def fit(self, X, y) -> "PLSRegressor":
+    def fit(self, X, y, sample_weight=None) -> "PLSRegressor":
+        """Fit; optional `sample_weight` (N,) weights rows in the
+        cross-products (integer weights == repeating rows — see
+        models/kernel_pls.fit)."""
         Xz, yz = self._scale_fit(X, y)
+        sw = None if sample_weight is None else jnp.asarray(sample_weight)
         self._fit = _fit(
-            Xz, yz, self.n_components, self.method,
+            Xz, yz, self.n_components, self.method, sample_weight=sw,
             power_iters=self.power_iters, precision=self.precision,
         )
         self._set_coef(coefficients(self._fit))

@@ -125,6 +125,46 @@ def vip(
     return jnp.sqrt(K * (frac @ ssy) / jnp.sum(ssy))
 
 
+def target_projection(
+    fit: PLSFit, X: jnp.ndarray, comp: int | None = None, y_col: int = 0
+):
+    """Target projection (Kvalheim & Karstang 1989, Chemom. Intell. Lab.
+    Syst. 7:39): rotate the PLS solution onto the single predictive
+    direction for one response.
+
+        w_TP = b / ‖b‖   (b = regression coefficients for response y_col)
+        t_TP = X w_TP ;  p_TP = Xᵀ t_TP / (t_TPᵀ t_TP)
+
+    Returns (t_TP (N,), p_TP (K,)).  X must be the (centered) training
+    matrix the fit was built on."""
+    comp = _check_comp(fit, comp)
+    b = coefficients(fit, comp)[:, y_col]
+    w_tp = b / jnp.sqrt(b @ b)
+    t_tp = X @ w_tp
+    p_tp = (X.T @ t_tp) / (t_tp @ t_tp)
+    return t_tp, p_tp
+
+
+def selectivity_ratio(
+    fit: PLSFit, X: jnp.ndarray, comp: int | None = None, y_col: int = 0
+) -> jnp.ndarray:
+    """Selectivity ratio per variable (Rajalahti et al. 2009, Chemom.
+    Intell. Lab. Syst. 95:35), (K,):
+
+        SRⱼ = ‖t_TP p_TP,ⱼ‖² / ‖xⱼ − t_TP p_TP,ⱼ‖²
+
+    — explained over residual variance of each X column under the
+    target-projection model.  Larger = more selective for the response;
+    an F-test on SR is the usual discriminating-variable screen (a
+    sharper alternative to VIP)."""
+    t_tp, p_tp = target_projection(fit, X, comp, y_col)
+    tt = t_tp @ t_tp
+    ss_exp = tt * p_tp**2  # (K,)
+    resid = X - jnp.outer(t_tp, p_tp)
+    ss_res = jnp.sum(resid * resid, axis=0)
+    return ss_exp / jnp.where(ss_res == 0, jnp.ones_like(ss_res), ss_res)
+
+
 def sse(
     fit: PLSFit, X_new: jnp.ndarray, Y_new: jnp.ndarray, comp: int | None = None
 ) -> jnp.ndarray:

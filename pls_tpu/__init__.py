@@ -109,7 +109,13 @@ from pls_tpu.select import (
     IPLSSelection,
 )
 from pls_tpu.export import export_model_c, load_model_c
-from pls_tpu.utils.checkpoint import save_fit, load_fit, register_checkpointable
+from pls_tpu.utils.checkpoint import (
+    save_fit,
+    load_fit,
+    save_fit_orbax,
+    load_fit_orbax,
+    register_checkpointable,
+)
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.spectral import (
@@ -296,6 +302,8 @@ __all__ = [
     "export_model_c",
     "load_model_c",
     "save_fit",
+    "save_fit_orbax",
+    "load_fit_orbax",
     "load_fit",
     "register_checkpointable",
     "grid_search_cv",

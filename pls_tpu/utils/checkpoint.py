@@ -93,26 +93,20 @@ def save_fit(fit, path: str) -> None:
     np.savez(path, **arrays, meta=json.dumps({"type": name, "aux": aux}))
 
 
-def load_fit(path: str):
-    """Reconstruct a fit pytree saved by `save_fit`."""
-    _ensure_ext_types()
-    z = np.load(path, allow_pickle=False)
-    meta = json.loads(str(z["meta"]))
+def _rebuild(meta: dict, leaf_items: dict):
+    """Reconstruct the fit object from {path: array} leaves + meta aux."""
     cls = _TYPES.get(meta["type"])
     if cls is None:
         raise TypeError(f"unknown checkpoint type {meta['type']!r}")
     kwargs: dict = {}
-    for key in z.files:
-        if not key.startswith("leaf:"):
-            continue
-        field_path = key[len("leaf:"):]
+    for field_path, val in leaf_items.items():
         top, _, rest = field_path.partition("/")
-        val = jnp.asarray(z[key])
+        val = jnp.asarray(val)
         if rest:
             kwargs.setdefault(top, {})[rest] = val
         else:
             kwargs[top] = val
-    aux = meta["aux"]
+    aux = dict(meta["aux"])
     for k, v in list(kwargs.items()):
         if isinstance(v, dict):
             # one nesting level is sufficient for all shipped fit types
@@ -126,3 +120,71 @@ def load_fit(path: str):
             continue  # nested aux for an absent field — ignore
         kwargs[k] = _decode_aux(v)
     return cls(**kwargs)
+
+
+def load_fit(path: str):
+    """Reconstruct a fit pytree saved by `save_fit`."""
+    _ensure_ext_types()
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    leaves = {
+        k[len("leaf:"):]: z[k] for k in z.files if k.startswith("leaf:")
+    }
+    return _rebuild(meta, leaves)
+
+
+def save_fit_orbax(fit, path: str) -> None:
+    """Serialize a registered fit pytree with orbax (directory format).
+
+    Unlike the .npz path this preserves jax.Array shardings and writes
+    each host's shards in parallel — the right backend for multi-host
+    meshes and for fits too large for one host's memory.  `path` is a
+    directory that must not yet exist; metadata (pytree type + static aux
+    fields) lands in `meta.json` beside orbax's array store."""
+    _ensure_ext_types()
+    import os
+
+    import orbax.checkpoint as ocp
+
+    name = type(fit).__name__
+    if name not in _TYPES:
+        raise TypeError(
+            f"{name} is not checkpointable; register_checkpointable() it"
+        )
+    path = os.path.abspath(path)
+    leaves = jax.tree_util.tree_flatten_with_path(fit)[0]
+    # keep the jax.Arrays themselves: orbax records their shardings.
+    # orbax refuses zero-size arrays (e.g. the empty T of a type-2 fit),
+    # so those ride in meta.json as shape+dtype stubs instead.
+    arrays, empties = {}, {}
+    for kp, v in leaves:
+        key = _path_str(kp).replace("/", ".")
+        if v.size == 0:
+            empties[key] = {"shape": list(v.shape), "dtype": str(v.dtype)}
+        else:
+            arrays[key] = v
+    os.makedirs(path, exist_ok=True)
+    ocp.PyTreeCheckpointer().save(os.path.join(path, "arrays"), arrays)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {"type": name, "aux": _collect_aux(fit), "empties": empties}, fh
+        )
+
+
+def load_fit_orbax(path: str):
+    """Reconstruct a fit pytree saved by `save_fit_orbax`."""
+    _ensure_ext_types()
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    arrays = ocp.PyTreeCheckpointer().restore(os.path.join(path, "arrays"))
+    leaves = {k.replace(".", "/"): v for k, v in arrays.items()}
+    for key, spec in meta.get("empties", {}).items():
+        leaves[key.replace(".", "/")] = jnp.zeros(
+            tuple(spec["shape"]), spec["dtype"]
+        )
+    return _rebuild(meta, leaves)

@@ -118,6 +118,12 @@ from pls_tpu.utils.checkpoint import (
 )
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.preprocess import ZScorer
+from pls_tpu.transfer import (
+    TransferModel,
+    direct_standardization,
+    piecewise_ds,
+    apply_transfer,
+)
 from pls_tpu.spectral import (
     snv,
     msc,
@@ -249,6 +255,10 @@ __all__ = [
     "read_matrix_file",
     "vip",
     "ZScorer",
+    "TransferModel",
+    "direct_standardization",
+    "piecewise_ds",
+    "apply_transfer",
     "target_projection",
     "selectivity_ratio",
     "O2PLSFit",

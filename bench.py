@@ -136,33 +136,46 @@ def main() -> int:
     jax.block_until_ready((X, r0))
     log(f"backend={backend} N={N} K={K} ({gb*1e3:.0f} MB operand)")
 
-    @jax.jit
-    def _advance(p):
-        return p * jax.lax.rsqrt(p @ p)
+    def make_chain(step_fn, iters):
+        """ONE jitted program running `iters` dependency-chained component
+        updates (r_{i+1} = normalize(p_i)), returning the final tt scalar.
+        A single dispatch + single readback per measurement: per-call relay
+        RTT and Python dispatch overhead become a CONSTANT that the slope
+        between two chain lengths cancels exactly — unlike a Python-level
+        dispatch loop, whose per-iteration RPC overhead scales with iters
+        and shows up as run-to-run noise on tunnel-attached TPUs."""
 
-    def run_chain(step_fn, iters, operand):
-        """Dispatch `iters` dependency-chained component updates, then force
-        completion with one scalar readback.  Returns wall seconds."""
-        t0 = time.perf_counter()
-        r = r0
-        tt = None
-        for _ in range(iters):
-            t, tt, p = step_fn(operand, r)
-            r = _advance(p)
-        float(tt)
-        return time.perf_counter() - t0
+        @jax.jit
+        def chain(operand, r):
+            tt = None
+            for _ in range(iters):
+                t, tt, p = step_fn(operand, r)
+                r = (p * jax.lax.rsqrt(p @ p)).astype(r.dtype)
+            return tt
 
-    def slope_time(pass_fn, label, short=5, long=25, reps=3, operand=None):
+        return chain
+
+    def slope_time(pass_fn, label, short=10, long=50, reps=5, operand=None):
+        # chain lengths sized so kernel time dominates the ~20 ms relay
+        # dispatch+readback constant: at ~0.8 ms/component the long chain
+        # carries ~40 ms of kernel work, putting best-of-5 slope noise
+        # under ~2%
         operand = X if operand is None else operand
-        step = jax.jit(pass_fn)
+        r = r0.astype(operand.dtype)
+        chains = {n: make_chain(pass_fn, n) for n in (short, long)}
         t0 = time.perf_counter()
-        run_chain(step, 1, operand)  # compile both programs + first run
+        for c in chains.values():  # compile + first run
+            float(c(operand, r))
         log(f"{label} compile+first: {time.perf_counter()-t0:.1f}s")
         times = {}
-        for iters in (short, long):
-            best = min(run_chain(step, iters, operand) for _ in range(reps))
-            times[iters] = best
-            log(f"{label} iters={iters}: best {best*1e3:.1f} ms")
+        for iters, c in chains.items():
+            runs = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(c(operand, r))
+                runs.append(time.perf_counter() - t0)
+            times[iters] = min(runs)
+            log(f"{label} iters={iters}: best {times[iters]*1e3:.1f} ms")
         per = max((times[long] - times[short]) / (long - short), 1e-9)
         log(f"{label}: {per*1e3:.3f} ms/component -> {gb/per:.1f} GB/s one-pass")
         return per

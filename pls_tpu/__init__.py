@@ -169,6 +169,7 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
+from pls_tpu.models.plspm import PLSPMFit, fit_plspm, plspm_scores
 from pls_tpu.models.o2pls import (
     O2PLSFit,
     fit_o2pls,
@@ -261,6 +262,9 @@ __all__ = [
     "apply_transfer",
     "target_projection",
     "selectivity_ratio",
+    "PLSPMFit",
+    "fit_plspm",
+    "plspm_scores",
     "O2PLSFit",
     "fit_o2pls",
     "o2pls_predict_y",

@@ -235,3 +235,72 @@ class TestExtendedFamiliesSharded:
         np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_r), atol=1e-9)
         np.testing.assert_allclose(np.asarray(hi_s), np.asarray(hi_r), atol=1e-9)
         np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_r), atol=1e-9)
+
+
+class TestRound2FamiliesSharded:
+    """Row-sharded agreement for the session's new families: O2PLS,
+    calibration transfer, PLS-PM, and the iPLS candidate scorer."""
+
+    def _row_shard(self, *arrays, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("rows", None))
+        return tuple(jax.device_put(a, sh) for a in arrays)
+
+    def test_o2pls_row_sharded(self, data):
+        from pls_tpu.models.o2pls import fit_o2pls, predict_y
+
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(X, Y, mesh=mesh)
+        ref = fit_o2pls(X, Y, n=2, nx=1, ny=1)
+        sh = fit_o2pls(Xs, Ys, n=2, nx=1, ny=1)
+        np.testing.assert_allclose(
+            np.asarray(predict_y(sh, X)), np.asarray(predict_y(ref, X)),
+            atol=1e-9,
+        )
+
+    def test_pds_row_sharded(self, data):
+        from pls_tpu.transfer import apply_transfer, piecewise_ds
+
+        X, _ = data
+        slave = X + 0.05 * jnp.sin(jnp.arange(X.shape[1]))[None, :]
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ss = self._row_shard(X, slave, mesh=mesh)
+        ref = piecewise_ds(X, slave, window=2, A=3)
+        sh = piecewise_ds(Xs, Ss, window=2, A=3)
+        np.testing.assert_allclose(
+            np.asarray(apply_transfer(sh, slave)),
+            np.asarray(apply_transfer(ref, slave)),
+            atol=1e-9,
+        )
+
+    def test_plspm_row_sharded(self, data):
+        from pls_tpu.models.plspm import fit_plspm
+
+        X, _ = data
+        Xz = (X - X.mean(0)) / X.std(0)
+        blocks = [list(range(8)), list(range(8, 16)), list(range(16, 24))]
+        path = np.zeros((3, 3))
+        path[1, 0] = path[2, 0] = path[2, 1] = 1
+        mesh = make_pls_mesh(rows=8, folds=1)
+        (Xs,) = self._row_shard(Xz, mesh=mesh)
+        ref = fit_plspm(Xz, blocks, path)
+        sh = fit_plspm(Xs, blocks, path)
+        np.testing.assert_allclose(
+            np.asarray(sh.paths), np.asarray(ref.paths), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh.scores), np.asarray(ref.scores), atol=1e-8
+        )
+
+    def test_ipls_row_sharded(self, data):
+        from pls_tpu.select import ipls
+
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        Xs, Ys = self._row_shard(X, Y, mesh=mesh)
+        ref = ipls(X, Y, n_intervals=4, A=3, k=4, key=0)
+        sh = ipls(Xs, Ys, n_intervals=4, A=3, k=4, key=0)
+        np.testing.assert_allclose(sh.rmsecv, ref.rmsecv, atol=1e-9)
+        assert sh.best_interval == ref.best_interval

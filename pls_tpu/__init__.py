@@ -169,7 +169,13 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
-from pls_tpu.models.plspm import PLSPMFit, fit_plspm, plspm_scores
+from pls_tpu.models.plspm import (
+    PLSPMFit,
+    PLSPMBootstrap,
+    fit_plspm,
+    plspm_scores,
+    bootstrap_plspm,
+)
 from pls_tpu.models.o2pls import (
     O2PLSFit,
     fit_o2pls,
@@ -263,8 +269,10 @@ __all__ = [
     "target_projection",
     "selectivity_ratio",
     "PLSPMFit",
+    "PLSPMBootstrap",
     "fit_plspm",
     "plspm_scores",
+    "bootstrap_plspm",
     "O2PLSFit",
     "fit_o2pls",
     "o2pls_predict_y",

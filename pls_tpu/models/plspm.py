@@ -41,7 +41,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PLSPMFit", "fit_plspm", "plspm_scores"]
+__all__ = [
+    "PLSPMFit",
+    "fit_plspm",
+    "plspm_scores",
+    "PLSPMBootstrap",
+    "bootstrap_plspm",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -251,3 +257,85 @@ def fit_plspm(
 def plspm_scores(fit: PLSPMFit, X_new) -> jnp.ndarray:
     """Latent scores for new standardized manifest data."""
     return jnp.asarray(X_new) @ fit.W
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PLSPMBootstrap:
+    """Bootstrap inference for a PLS path model (plspm-package style).
+
+    paths_se / loadings_se : standard errors over resamples
+    paths_lo, paths_hi     : percentile CI bounds for the path matrix
+    paths_t                : original estimate / se (0 where no path)
+    samples                : (B, L, L) raw bootstrap path matrices
+    """
+
+    paths_se: jax.Array
+    paths_lo: jax.Array
+    paths_hi: jax.Array
+    paths_t: jax.Array
+    loadings_se: jax.Array
+    samples: jax.Array
+
+
+def bootstrap_plspm(
+    X,
+    blocks: list[list[int]],
+    path,
+    n_boot: int = 200,
+    *,
+    key: jax.Array | int = 0,
+    alpha: float = 0.05,
+    modes: str | list[str] = "A",
+    scheme: str = "centroid",
+    max_iter: int = 300,
+    tol: float = 1e-9,
+) -> PLSPMBootstrap:
+    """Bootstrap standard errors and percentile CIs for the path
+    coefficients (and loading SEs).  Every resample is one row-gathered,
+    re-standardized refit; ALL `n_boot` refits run as a single vmapped
+    device program (each refit is itself the while_loop fixed point —
+    under vmap it iterates until the slowest replicate converges).
+
+    Sign indeterminacy is handled the same way as the point fit (scores
+    oriented positively toward their block's manifests), so path samples
+    are directly comparable across resamples."""
+    X = jnp.asarray(X)
+    N, K = X.shape
+    L = len(blocks)
+    mask = jnp.asarray(_block_mask(blocks, K), X.dtype)
+    path_np = np.asarray(path, dtype=float)
+    if isinstance(modes, str):
+        modes = [modes] * L
+    modeB = jnp.asarray([1.0 if m == "B" else 0.0 for m in modes], X.dtype)
+    pathj = jnp.asarray(path_np, X.dtype)
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    idx = jax.random.randint(key, (n_boot, N), 0, N)
+
+    point = fit_plspm(
+        X, blocks, path_np, modes=modes, scheme=scheme,
+        max_iter=max_iter, tol=tol,
+    )
+
+    def one(ix):
+        Xb = X[ix]
+        mu = jnp.mean(Xb, axis=0)
+        sd = jnp.std(Xb, axis=0)
+        Xb = (Xb - mu[None, :]) / jnp.where(sd == 0, 1.0, sd)[None, :]
+        f = _fit_plspm(Xb, mask, modeB, pathj, scheme, max_iter, tol)
+        return f.paths, f.loadings
+
+    paths_b, loads_b = jax.vmap(one)(idx)  # (B, L, L), (B, K)
+    se = jnp.std(paths_b, axis=0, ddof=1)
+    lo = jnp.quantile(paths_b, alpha / 2, axis=0)
+    hi = jnp.quantile(paths_b, 1 - alpha / 2, axis=0)
+    t = jnp.where(se > 0, point.paths / jnp.where(se == 0, 1.0, se), 0.0)
+    return PLSPMBootstrap(
+        paths_se=se,
+        paths_lo=lo,
+        paths_hi=hi,
+        paths_t=t,
+        loadings_se=jnp.std(loads_b, axis=0, ddof=1),
+        samples=paths_b,
+    )

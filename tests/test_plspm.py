@@ -103,3 +103,22 @@ def test_validation_errors():
         fit_plspm(X, blocks, path, scheme="nope")
     with pytest.raises(ValueError):
         fit_plspm(X, blocks, path, modes=["A"])
+
+
+def test_bootstrap_paths_cover_truth():
+    from pls_tpu.models.plspm import bootstrap_plspm
+
+    X, blocks, path, _ = _sem_data(N=600, seed=4)
+    bs = bootstrap_plspm(X, blocks, path, n_boot=120, key=0)
+    lo, hi = np.asarray(bs.paths_lo), np.asarray(bs.paths_hi)
+    truth = {(1, 0): 0.6, (2, 0): 0.4, (2, 1): 0.5}
+    for (i, j), v in truth.items():
+        assert lo[i, j] < v < hi[i, j], ((i, j), lo[i, j], hi[i, j])
+        assert 0 < np.asarray(bs.paths_se)[i, j] < 0.12
+    # strong planted effects are significant
+    t = np.asarray(bs.paths_t)
+    for (i, j) in truth:
+        assert t[i, j] > 3
+    # no-path entries stay exactly zero in every resample
+    assert np.all(np.asarray(bs.samples)[:, 0, :] == 0)
+    assert np.all(np.asarray(bs.loadings_se) < 0.05)

@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
         "fast-compiling production path (docs/PERF.md)",
     )
     p.add_argument(
+        "--preprocess", default=None, metavar="CHAIN",
+        help="spectral preprocessing for X before z-scoring, e.g. "
+        "'savgol:11:2:1,snv' (tokens: snv, msc, detrend[:order], "
+        "savgol:w:p[:d[:delta]], norm[:l2])",
+    )
+    p.add_argument(
         "--format", choices=["real", "eigen-complex"], default="real",
         dest="fmt",
         help="matrix rendering in print_state: real numbers (default) or "
@@ -130,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         json_out=args.json,
         complex_format=(args.fmt == "eigen-complex"),
         use_pallas=args.use_pallas,
+        preprocess=args.preprocess,
     )
 
     try:

@@ -31,6 +31,7 @@ class PLSRunConfig:
     json_out: str | None = None
     complex_format: bool = False  # Eigen '(re,0)' tuples for byte diffing
     use_pallas: str = "off"  # "off" | "scan" | "unroll" (docs/PERF.md)
+    preprocess: str | None = None  # spectral chain for X, e.g. "savgol:11:2:1,snv"
     extra: dict = field(default_factory=dict)
 
 
@@ -56,7 +57,12 @@ def run_pipeline(cfg: PLSRunConfig, *, file=None) -> dict:
     file = sys.stderr if file is None else file
     dtype = jnp.dtype(dtype_name)
 
-    X = colwise_z_scores(jnp.asarray(read_matrix_file(cfg.x_file), dtype))
+    X_raw = jnp.asarray(read_matrix_file(cfg.x_file), dtype)
+    if cfg.preprocess:
+        from pls_tpu.spectral import apply_chain
+
+        X_raw = apply_chain(X_raw, cfg.preprocess)
+    X = colwise_z_scores(X_raw)
     Y = colwise_z_scores(jnp.asarray(read_matrix_file(cfg.y_file), dtype))
 
     model = PLSModel(

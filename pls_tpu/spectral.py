@@ -229,6 +229,41 @@ def normalize(X, norm: str = "l2") -> jnp.ndarray:
     return X / jnp.where(s == 0, 1.0, s)
 
 
+def apply_chain(X, spec: str) -> jnp.ndarray:
+    """Apply a comma-separated preprocessing chain, e.g.
+    ``"savgol:11:2:1,snv"`` (the CLI's --preprocess syntax).
+
+    Tokens: ``snv`` | ``msc`` | ``detrend[:order]`` |
+    ``savgol:window:polyorder[:deriv[:delta]]`` | ``norm[:l1|l2|max|area]``.
+    Applied left to right to the rows of X."""
+    for token in spec.split(","):
+        token = token.strip()
+        if not token:
+            continue
+        name, *ps = token.split(":")
+        if name == "snv":
+            X = snv(X)
+        elif name == "msc":
+            X = msc(X)
+        elif name == "detrend":
+            X = detrend(X, int(ps[0]) if ps else 1)
+        elif name == "savgol":
+            if len(ps) < 2:
+                raise ValueError(
+                    f"savgol needs window:polyorder (got {token!r})"
+                )
+            X = savgol(
+                X, int(ps[0]), int(ps[1]),
+                int(ps[2]) if len(ps) > 2 else 0,
+                float(ps[3]) if len(ps) > 3 else 1.0,
+            )
+        elif name == "norm":
+            X = normalize(X, ps[0] if ps else "l2")
+        else:
+            raise ValueError(f"unknown preprocessing step {name!r}")
+    return X
+
+
 def _transformer_tags():
     """sklearn >= 1.6 tag object for a transformer (lazy sklearn import)."""
     from sklearn.base import BaseEstimator, TransformerMixin

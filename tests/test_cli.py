@@ -214,3 +214,25 @@ def test_eigen_complex_format_byte_parity_nir():
         )
     )
     assert mine == ref
+
+
+def test_cli_preprocess_flag(tmp_path, capfd):
+    """--preprocess applies the spectral chain before z-scoring (results
+    differ from the plain run but the pipeline completes normally)."""
+    import numpy as np
+
+    from pls_tpu.cli import main
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(20, 24)).cumsum(axis=1)
+    y = X[:, 5] + 0.1 * rng.normal(size=20)
+    xf, yf = str(tmp_path / "x.csv"), str(tmp_path / "y.csv")
+    np.savetxt(xf, X, delimiter=",")
+    np.savetxt(yf, y[:, None], delimiter=",")
+    rc = main([xf, yf, "2", "--cv", "none",
+               "--preprocess", "savgol:7:2:1,snv"])
+    assert rc == 0
+    err = capfd.readouterr().err
+    assert "explained variance" in err
+    rc = main([xf, yf, "2", "--cv", "none", "--preprocess", "bogus"])
+    assert rc == 1

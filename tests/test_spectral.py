@@ -137,3 +137,17 @@ def test_sklearn_pipeline_integration(spectra, golden):
     pipe2 = clone(pipe)
     pipe2.fit(spectra, y)
     assert np.allclose(pipe2.predict(spectra), pipe.predict(spectra))
+
+
+def test_apply_chain_tokens(spectra):
+    got = np.asarray(spectral.apply_chain(spectra, "savgol:11:2:1,snv"))
+    want = np.asarray(spectral.snv(spectral.savgol(spectra, 11, 2, 1)))
+    assert np.allclose(got, want, atol=1e-12)
+    assert np.allclose(
+        np.asarray(spectral.apply_chain(spectra, "detrend:2")),
+        np.asarray(spectral.detrend(spectra, 2)),
+    )
+    with pytest.raises(ValueError):
+        spectral.apply_chain(spectra, "wavelet")
+    with pytest.raises(ValueError):
+        spectral.apply_chain(spectra, "savgol:11")

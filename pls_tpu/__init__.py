@@ -107,6 +107,8 @@ from pls_tpu.select import (
     interval_masks,
     IPLSResult,
     IPLSSelection,
+    uve_pls,
+    UVEResult,
 )
 from pls_tpu.export import export_model_c, load_model_c
 from pls_tpu.utils.checkpoint import (
@@ -284,6 +286,8 @@ __all__ = [
     "interval_masks",
     "IPLSResult",
     "IPLSSelection",
+    "uve_pls",
+    "UVEResult",
     "snv",
     "msc",
     "MSCorrection",

@@ -48,6 +48,8 @@ __all__ = [
     "ipls_backward",
     "IPLSResult",
     "IPLSSelection",
+    "uve_pls",
+    "UVEResult",
 ]
 
 
@@ -277,6 +279,70 @@ def ipls_forward(
     return _greedy(
         X, Y, n_intervals, A, k, method, key, precision, batch_size,
         forward=True, max_steps=max_intervals, tol=tol,
+    )
+
+
+@dataclass(frozen=True)
+class UVEResult:
+    """UVE-PLS screening result.
+
+    reliability : (K,) |mean/std| of each real variable's coefficient
+                  across CV folds
+    cutoff      : max reliability among the appended noise variables
+    selected    : (K,) bool — reliability > cutoff
+    """
+
+    reliability: np.ndarray
+    cutoff: float
+    selected: np.ndarray
+
+
+def uve_pls(
+    X,
+    Y,
+    A: int,
+    k: int | None = None,
+    *,
+    key: jax.Array | int = 0,
+    noise_scale: float = 1e-10,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    precision: str | None = "highest",
+    batch_size: int = 32,
+) -> UVEResult:
+    """Uninformative Variable Elimination (Centner et al. 1996, Anal.
+    Chem. 68:3851): append K tiny random noise variables to X, jackknife
+    the regression coefficients over CV folds (k=None → leave-one-out),
+    and keep real variables whose coefficient stability |mean/std| beats
+    the best noise variable's.  All fold refits run as one batched
+    program (row-masked fits, like cv/loo.py)."""
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N, K = X.shape
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    noise = noise_scale * jax.random.normal(key, (N, K), X.dtype)
+    Xa = jnp.concatenate([X, noise], axis=1)
+
+    folds = N if k is None else k
+    assign = kfold_assignments(N, folds, None if k is None else key)
+
+    def fold(fid):
+        keep = (assign != fid).astype(X.dtype)
+        f = fit(Xa, Y, A, method, row_mask=keep, precision=precision)
+        from pls_tpu.models.predict import coefficients
+
+        return coefficients(f)[:, 0]  # (2K,) first response
+
+    B = padded_map(fold, jnp.arange(folds), batch_size)  # (folds, 2K)
+    mean = jnp.mean(B, axis=0)
+    std = jnp.std(B, axis=0, ddof=1)
+    c = jnp.abs(mean / jnp.where(std == 0, jnp.inf, std))
+    c_real = np.asarray(c[:K])
+    cutoff = float(jnp.max(c[K:]))
+    return UVEResult(
+        reliability=c_real, cutoff=cutoff, selected=c_real > cutoff
     )
 
 

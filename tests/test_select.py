@@ -101,3 +101,16 @@ def test_ipls_validation_errors():
         select.ipls(X, y, n_intervals=20, A=5)  # A > width 2
     with pytest.raises(ValueError):
         select.interval_edges(10, 11)
+
+
+def test_uve_pls_screens_noise():
+    X, y = _synthetic(n=60, K=24, informative=(0, 8), seed=3)
+    res = select.uve_pls(X, y, A=6, k=10)
+    assert res.reliability.shape == (24,)
+    assert res.cutoff > 0
+    # most informative variables survive; selection is not everything
+    assert res.selected[:8].sum() >= 6
+    assert res.selected.sum() < 24
+    # LOO variant (k=None) also runs
+    res_loo = select.uve_pls(X, y, A=6)
+    assert res_loo.selected[:8].sum() >= 6

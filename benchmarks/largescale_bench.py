@@ -102,7 +102,41 @@ def main() -> int:
     log(f"stats pass: compile+first {t_compile_and_first:.1f}s, "
         f"steady {t_stats:.2f}s for {rows_done} rows "
         f"({rows_done * K * 4 / t_stats / 1e9:.2f} GB/s X throughput, "
-        f"{2 * rows_done * float(K) * K / t_stats / 1e12:.1f} TFLOP/s)")
+        f"{2 * rows_done * float(K) * K / t_stats / 1e12:.1f} TFLOP/s) "
+        f"— INCLUDES on-device synthetic chunk generation (threefry), "
+        f"which dominates; see update_only below for the accumulator rate")
+
+    # update-only rate: pre-generate the chunks once, then time ONLY the
+    # XᵀX/XᵀY accumulation.  Slope between two loop lengths cancels the
+    # constant dispatch/readback cost of the relay.
+    upd_tflops = None
+    try:
+        cached = [gen_chunk(jax.random.fold_in(kchunks, c)) for c in range(n_chunks)]
+        jax.block_until_ready(cached)
+
+        @jax.jit
+        def upd(XX, XY, Xc, Yc):
+            return XX + Xc.T @ Xc, XY + Xc.T @ Yc
+
+        def run(m):
+            XXa = jnp.zeros((K, K), jnp.float32)
+            XYa = jnp.zeros((K, M), jnp.float32)
+            t0 = time.perf_counter()
+            for c in range(m):
+                Xc, Yc = cached[c % n_chunks]
+                XXa, XYa = upd(XXa, XYa, Xc, Yc)
+            float(XXa[0, 0])
+            return time.perf_counter() - t0
+
+        run(1)  # compile
+        short, long_ = 2, 2 * n_chunks
+        per = (min(run(long_) for _ in range(3)) - min(run(short) for _ in range(3))) / (long_ - short)
+        upd_tflops = 2 * args.chunk * float(K) * K / per / 1e12
+        log(f"update-only: {per*1e3:.1f} ms/chunk -> "
+            f"{args.chunk * K * 4 / per / 1e9:.1f} GB/s, {upd_tflops:.1f} TFLOP/s")
+        del cached
+    except Exception as e:  # never fail the bench over the diagnostic
+        log(f"update-only measurement skipped: {e}")
 
     fold_X, fold_Y = gen_chunk(jax.random.fold_in(kchunks, 0))
     fold_X, fold_Y = fold_X[:F], fold_Y[:F]  # held-out rows for the folds
@@ -160,6 +194,7 @@ def main() -> int:
         "shape": {"N": rows_done, "K": K, "M": M, "A": A, "folds": F},
         "stats_pass_sec": round(t_stats, 3),
         "x_throughput_gbps": round(rows_done * K * 4 / t_stats / 1e9, 2),
+        "update_only_tflops": round(upd_tflops, 2) if upd_tflops else None,
         "loo_sec": round(t_loo, 3),
         "loo_fits_per_sec": round(fits_per_sec, 2),
         "loo_fits_per_sec_device_slope": round(device_rate, 2) if device_rate else None,

@@ -208,6 +208,8 @@ from pls_tpu.models.diagnostics import (
     leverage,
     spe,
     spe_limit,
+    spe_contributions,
+    t2_contributions,
     t2_limit,
     x_residuals,
 )
@@ -364,6 +366,8 @@ __all__ = [
     "leverage",
     "spe",
     "spe_limit",
+    "spe_contributions",
+    "t2_contributions",
     "t2_limit",
     "x_residuals",
     "__version__",

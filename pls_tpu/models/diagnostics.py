@@ -109,6 +109,41 @@ def leverage(
     return 1.0 / n_train + jnp.sum(S * sol, axis=-1)
 
 
+def spe_contributions(
+    fit: PLSFit, X_new: jnp.ndarray, comp: int | None = None
+) -> jnp.ndarray:
+    """Per-variable SPE contributions, (n, K): squared reconstruction
+    residual of each variable.  Rows sum to `spe` exactly.  The standard
+    fault-isolation plot: an out-of-control SPE sample's largest
+    contributors point at the offending sensors/channels."""
+    E = x_residuals(fit, X_new, comp)
+    return E * E
+
+
+def t2_contributions(
+    fit: PLSFit,
+    X_new: jnp.ndarray,
+    comp: int | None = None,
+    X_train: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Per-variable Hotelling-T² contributions, (n, K), via the standard
+    complete-decomposition form (Westerhuis, Gurden & Smilde 2000,
+    Chemom. Intell. Lab. Syst. 51:95):
+
+        contrib(i, j) = x_{ij} · [R diag(1/s²) Rᵀ x_i]_j
+
+    Rows sum to T² exactly; negative entries are possible (and
+    meaningful: a variable can pull the score vector back toward the
+    origin)."""
+    comp = _check_comp(fit, comp)
+    T = _train_scores(fit, X_train, comp)
+    n_train = T.shape[0]
+    s2 = jnp.sum(T * T, axis=0) / (n_train - 1)
+    S = X_new @ fit.R[:, :comp]  # (n, comp)
+    back = (S / s2[None, :]) @ fit.R[:, :comp].T  # (n, K)
+    return X_new * back
+
+
 def t2_limit(n_train: int, comp: int, alpha: float = 0.05) -> float:
     """F-based T² control limit at confidence 1−α (Tracy–Widom form)."""
     from scipy.stats import f as f_dist
@@ -168,6 +203,18 @@ class MonitorModel:
             "t2_ok": t2_ok,
             "spe_ok": spe_ok,
             "ok": jnp.logical_and(t2_ok, spe_ok),
+        }
+
+    def contributions(self, X_new: jnp.ndarray) -> dict:
+        """Per-variable fault-isolation contributions for a batch:
+        {'spe': (n, K), 't2': (n, K)} — rows sum to the corresponding
+        check() statistics.  Call on the samples check() flagged to see
+        WHICH channels broke."""
+        S = X_new @ self.R
+        E = X_new - S @ self.P.T
+        return {
+            "spe": E * E,
+            "t2": X_new * ((S / self.s2[None, :]) @ self.R.T),
         }
 
 

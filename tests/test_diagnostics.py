@@ -121,3 +121,46 @@ def test_t2_without_stored_scores(nir_fit):
     np.testing.assert_allclose(
         np.asarray(t2), np.asarray(pt.hotelling_t2(fit, Xz)), rtol=1e-4
     )
+
+
+class TestContributions:
+    """Fault-isolation contribution decompositions."""
+
+    def _fit_and_monitor(self, nir):
+        X, Y = nir
+        X = jnp.asarray(X)
+        f = pt.fit(X, jnp.asarray(Y), 5)
+        return X, f
+
+    def test_rows_sum_to_statistics(self, nir):
+        X, f = self._fit_and_monitor(nir)
+        cs = np.asarray(pt.spe_contributions(f, X, 5))
+        np.testing.assert_allclose(
+            cs.sum(axis=1), np.asarray(pt.spe(f, X, 5)), rtol=1e-10
+        )
+        ct = np.asarray(pt.t2_contributions(f, X, 5))
+        np.testing.assert_allclose(
+            ct.sum(axis=1), np.asarray(pt.hotelling_t2(f, X, 5)), rtol=1e-10
+        )
+
+    def test_planted_fault_isolated(self, nir):
+        X, f = self._fit_and_monitor(nir)
+        mon = pt.fit_monitor(f, X, 5)
+        Xf = np.asarray(X[:4]).copy()
+        Xf[:, 200] += 8.0  # break channel 200 on four samples
+        res = mon.check(jnp.asarray(Xf))
+        assert not bool(res["ok"].any())
+        contrib = mon.contributions(jnp.asarray(Xf))
+        # channel 200 is the top SPE contributor on every faulty sample
+        assert np.all(np.argmax(np.asarray(contrib["spe"]), axis=1) == 200)
+        # and the monitor contributions agree with the functional API
+        np.testing.assert_allclose(
+            np.asarray(contrib["spe"]),
+            np.asarray(pt.spe_contributions(f, jnp.asarray(Xf), 5)),
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(contrib["t2"]).sum(axis=1),
+            np.asarray(res["t2"]),
+            rtol=1e-10,
+        )

@@ -12,6 +12,7 @@ batches sharded across chips.
 from pls_tpu.parallel.mesh import make_pls_mesh, initialize_distributed
 from pls_tpu.parallel.sharded import (
     fit_sharded,
+    fit_colsharded,
     cv_loo_sharded,
     fit_rowsharded_shardmap,
     cv_lso_sharded,
@@ -22,6 +23,7 @@ __all__ = [
     "make_pls_mesh",
     "initialize_distributed",
     "fit_sharded",
+    "fit_colsharded",
     "fit_rowsharded_shardmap",
     "cv_lso_sharded",
     "cv_loo_sharded",

@@ -66,6 +66,43 @@ def fit_sharded(
     return _fit(Xs, Ys)
 
 
+def fit_colsharded(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    mesh: Mesh,
+    axis: str = "rows",
+    precision: str | None = "highest",
+    power_iters: int | None = None,
+) -> PLSFit:
+    """COLUMN-sharded fit via GSPMD — the huge-K scaling axis (north star:
+    K = 10k+ spectral channels / SNP panels).
+
+    X is sharded over its predictor axis `P(None, axis)` (reusing the
+    mesh's `axis` dimension — pass the 'rows' axis of make_pls_mesh or a
+    dedicated K axis).  GSPMD keeps every K-sized object (XY, w, r, p,
+    the (A, K) Gram–Schmidt buffers) sharded over the same axis: the
+    per-component matvec t = X r contracts over K (one all-reduce of the
+    N-vector t per component), while p = Xᵀt, the Gram–Schmidt
+    corrections, and the XY deflation stay fully local per shard.  The
+    communication dual of the row-sharded form: all-reduce size N instead
+    of K.  Outputs are gathered to replicated (K, A) matrices.
+    """
+    col_sh = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+    Xs = jax.device_put(jnp.asarray(X), col_sh)
+    Ys = jax.device_put(jnp.asarray(Y), NamedSharding(mesh, P()))
+
+    @partial(jax.jit, out_shardings=rep)
+    def _fit(Xs, Ys):
+        return fit(Xs, Ys, A, method, precision=precision,
+                   power_iters=power_iters)
+
+    return _fit(Xs, Ys)
+
+
 def fit_rowsharded_shardmap(
     X: jnp.ndarray,
     Y: jnp.ndarray,

@@ -304,3 +304,24 @@ class TestRound2FamiliesSharded:
         sh = ipls(Xs, Ys, n_intervals=4, A=3, k=4, key=0)
         np.testing.assert_allclose(sh.rmsecv, ref.rmsecv, atol=1e-9)
         assert sh.best_interval == ref.best_interval
+
+    def test_colsharded_fit_equals_single(self, data):
+        """Column (K) sharding — the huge-K axis: same coefficients as the
+        single-device fit; all-reduces are N-sized instead of K-sized."""
+        from pls_tpu.parallel import fit_colsharded
+
+        X, Y = data
+        mesh = make_pls_mesh(rows=8, folds=1)
+        ref = pt.fit(X, Y, 4)
+        sh = fit_colsharded(X, Y, 4, mesh=mesh, axis="rows")
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(sh)), np.asarray(pt.coefficients(ref)),
+            atol=1e-10,
+        )
+        # type 2 as well (XX is (K, K)-sharded over both uses)
+        ref2 = pt.fit(X, Y, 4, pt.KERNEL_TYPE2)
+        sh2 = fit_colsharded(X, Y, 4, pt.KERNEL_TYPE2, mesh=mesh, axis="rows")
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(sh2)), np.asarray(pt.coefficients(ref2)),
+            atol=1e-10,
+        )

@@ -171,6 +171,7 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
+from pls_tpu.models.plsglm import PLSGLMFit, fit_plsglm, predict_plsglm
 from pls_tpu.models.plspm import (
     PLSPMFit,
     PLSPMBootstrap,
@@ -214,7 +215,7 @@ from pls_tpu.models.diagnostics import (
     x_residuals,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "METHOD",
@@ -272,6 +273,9 @@ __all__ = [
     "apply_transfer",
     "target_projection",
     "selectivity_ratio",
+    "PLSGLMFit",
+    "fit_plsglm",
+    "predict_plsglm",
     "PLSPMFit",
     "PLSPMBootstrap",
     "fit_plspm",

@@ -140,6 +140,7 @@ from pls_tpu.spectral import (
 )
 from pls_tpu.estimator import (
     PLSRegressor,
+    PLSGLMClassifier,
     RobustPLSRegressor,
     SPLSRegressor,
     OPLSRegressor,
@@ -305,6 +306,7 @@ __all__ = [
     "SavitzkyGolay",
     "Detrend",
     "PLSRegressor",
+    "PLSGLMClassifier",
     "RobustPLSRegressor",
     "SPLSRegressor",
     "OPLSRegressor",

@@ -565,3 +565,89 @@ class PLSSVD(_CrossDecompBase):
 
     def predict(self, X):  # pragma: no cover - guard
         raise AttributeError("PLSSVD is transform-only (no regression path)")
+
+
+class PLSGLMClassifier(_EstimatorBase):
+    """Binary logistic PLS-GLM with sklearn classifier ergonomics
+    (models/plsglm.py).  Labels may be any two values; X is z-scored
+    internally.  `n_components=n_features` reproduces an unregularized
+    logistic regression; fewer components give PLS shrinkage."""
+
+    _params = ("n_components", "n_irls", "scale", "precision")
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        n_irls: int = 25,
+        scale: bool = True,
+        precision: str | None = "highest",
+    ):
+        self.n_components = n_components
+        self.n_irls = n_irls
+        self.scale = scale
+        self.precision = precision
+
+    def fit(self, X, y) -> "PLSGLMClassifier":
+        from pls_tpu.models.plsglm import fit_plsglm
+
+        X = jnp.asarray(X)
+        y = np.asarray(y).reshape(-1)
+        self.classes_ = np.unique(y)
+        if len(self.classes_) != 2:
+            raise ValueError(
+                f"binary classifier: got {len(self.classes_)} classes"
+            )
+        y01 = jnp.asarray((y == self.classes_[1]).astype(float))
+        if self.scale:
+            self._x_scaler = ZScorer.fit(X)
+            Xz = self._x_scaler.transform(X)
+        else:
+            self._x_scaler = None
+            Xz = X
+        self._glm = fit_plsglm(
+            Xz, y01, self.n_components, "binomial",
+            n_irls=self.n_irls, precision=self.precision,
+        )
+        self.deviance_ = float(self._glm.deviance)
+        # sklearn-convention raw-unit coefficients on the linear predictor
+        if self._x_scaler is not None:
+            sd = np.asarray(self._x_scaler.stdev)
+            mu = np.asarray(self._x_scaler.mean)
+            self.coef_ = (np.asarray(self._glm.coef) / sd)[None, :]
+            self.intercept_ = np.asarray(
+                float(self._glm.intercept) - (mu / sd) @ np.asarray(self._glm.coef)
+            ).reshape(1)
+        else:
+            self.coef_ = np.asarray(self._glm.coef)[None, :]
+            self.intercept_ = np.asarray(float(self._glm.intercept)).reshape(1)
+        return self
+
+    def predict_proba(self, X) -> np.ndarray:
+        from pls_tpu.models.plsglm import predict_plsglm
+
+        p1 = np.asarray(predict_plsglm(self._glm, self._scale_x(X)))
+        return np.stack([1 - p1, p1], axis=1)
+
+    def decision_function(self, X) -> np.ndarray:
+        from pls_tpu.models.plsglm import predict_plsglm
+
+        return np.asarray(
+            predict_plsglm(self._glm, self._scale_x(X), linear=True)
+        )
+
+    def predict(self, X) -> np.ndarray:
+        return self.classes_[
+            (self.predict_proba(X)[:, 1] >= 0.5).astype(int)
+        ]
+
+    def score(self, X, y) -> float:
+        """Classification accuracy (sklearn classifier convention)."""
+        return float(np.mean(self.predict(X) == np.asarray(y).reshape(-1)))
+
+    def __sklearn_tags__(self):
+        from sklearn.base import BaseEstimator, ClassifierMixin
+
+        class _Shim(ClassifierMixin, BaseEstimator):
+            pass
+
+        return _Shim().__sklearn_tags__()

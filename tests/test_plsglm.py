@@ -74,3 +74,24 @@ def test_validation():
     X, y, _ = _logit_data(N=50)
     with pytest.raises(ValueError):
         fit_plsglm(X, y, A=4, family="gamma")
+
+
+def test_classifier_facade():
+    from pls_tpu.estimator import PLSGLMClassifier
+
+    X, y, _ = _logit_data()
+    Xr = np.asarray(X) * 3.0 + 5.0  # raw units
+    labels = np.where(np.asarray(y) > 0, "pos", "neg")
+    clf = PLSGLMClassifier(n_components=4).fit(Xr, labels)
+    acc = clf.score(Xr, labels)
+    # Bayes accuracy of this synthetic task is ~0.78 (|eta| is modest)
+    assert acc > 0.7
+    proba = clf.predict_proba(Xr)
+    assert proba.shape == (len(labels), 2)
+    assert np.allclose(proba.sum(axis=1), 1.0)
+    assert set(clf.predict(Xr)) <= {"pos", "neg"}
+    # raw-unit coef_/intercept_ reproduce the decision function
+    eta = Xr @ clf.coef_[0] + clf.intercept_[0]
+    assert np.allclose(eta, clf.decision_function(Xr), atol=1e-8)
+    with pytest.raises(ValueError):
+        PLSGLMClassifier().fit(Xr, np.zeros(len(labels)))

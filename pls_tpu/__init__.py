@@ -173,6 +173,12 @@ from pls_tpu.models.opls import (
     predict as opls_predict,
 )
 from pls_tpu.models.plsglm import PLSGLMFit, fit_plsglm, predict_plsglm
+from pls_tpu.models.plscox import (
+    PLSCoxFit,
+    fit_plscox,
+    predict_plscox,
+    concordance_index,
+)
 from pls_tpu.models.plspm import (
     PLSPMFit,
     PLSPMBootstrap,
@@ -275,6 +281,10 @@ __all__ = [
     "target_projection",
     "selectivity_ratio",
     "PLSGLMFit",
+    "PLSCoxFit",
+    "fit_plscox",
+    "predict_plscox",
+    "concordance_index",
     "fit_plsglm",
     "predict_plsglm",
     "PLSPMFit",

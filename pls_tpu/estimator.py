@@ -23,6 +23,30 @@ from pls_tpu.preprocess import ZScorer
 from pls_tpu.types import KERNEL_TYPE1, METHOD
 
 
+def _sklearn_tags(kind: str):
+    """sklearn ≥1.6 tag object for `kind` ∈ {regressor, classifier,
+    transformer} — delegates to sklearn's own mixins via a shim class so
+    we track the tag protocol without inheriting BaseEstimator (no hard
+    dependency).  Shared by every facade here and in spectral.py."""
+    from sklearn.base import (
+        BaseEstimator,
+        ClassifierMixin,
+        RegressorMixin,
+        TransformerMixin,
+    )
+
+    mixin = {
+        "regressor": RegressorMixin,
+        "classifier": ClassifierMixin,
+        "transformer": TransformerMixin,
+    }[kind]
+
+    class _Shim(mixin, BaseEstimator):
+        pass
+
+    return _Shim().__sklearn_tags__()
+
+
 class _EstimatorBase:
     """Shared sklearn-protocol plumbing: parameter dict, internal
     z-scoring, and uniform-average R² scoring."""
@@ -40,24 +64,19 @@ class _EstimatorBase:
         return self
 
     def __sklearn_tags__(self):
-        # sklearn >= 1.6 Pipelines/meta-estimators query tags; delegate to
-        # sklearn's own default implementation when sklearn is installed
-        # (we deliberately don't inherit BaseEstimator — no hard dep).
-        from sklearn.base import BaseEstimator, RegressorMixin
+        return _sklearn_tags("regressor")
 
-        class _Shim(RegressorMixin, BaseEstimator):
-            pass
-
-        return _Shim().__sklearn_tags__()
-
-    def _scale_fit(self, X, y):
+    def _scale_fit(self, X, y, sample_weight=None):
         X = jnp.asarray(X)
         y = jnp.asarray(y)
         if y.ndim == 1:
             y = y[:, None]
         if self.scale:
-            self._x_scaler = ZScorer.fit(X)
-            self._y_scaler = ZScorer.fit(y)
+            # weighted moments keep "integer weights == repeating rows"
+            # true through the internal z-scoring (the kernel fit assumes
+            # centering consistent with the weights)
+            self._x_scaler = ZScorer.fit(X, sample_weight)
+            self._y_scaler = ZScorer.fit(y, sample_weight)
             return self._x_scaler.transform(X), self._y_scaler.transform(y)
         self._x_scaler = self._y_scaler = None
         return X, y
@@ -142,8 +161,8 @@ class PLSRegressor(_EstimatorBase):
         """Fit; optional `sample_weight` (N,) weights rows in the
         cross-products (integer weights == repeating rows — see
         models/kernel_pls.fit)."""
-        Xz, yz = self._scale_fit(X, y)
         sw = None if sample_weight is None else jnp.asarray(sample_weight)
+        Xz, yz = self._scale_fit(X, y, sw)
         self._fit = _fit(
             Xz, yz, self.n_components, self.method, sample_weight=sw,
             power_iters=self.power_iters, precision=self.precision,
@@ -645,9 +664,4 @@ class PLSGLMClassifier(_EstimatorBase):
         return float(np.mean(self.predict(X) == np.asarray(y).reshape(-1)))
 
     def __sklearn_tags__(self):
-        from sklearn.base import BaseEstimator, ClassifierMixin
-
-        class _Shim(ClassifierMixin, BaseEstimator):
-            pass
-
-        return _Shim().__sklearn_tags__()
+        return _sklearn_tags("classifier")

@@ -166,8 +166,13 @@ def fit_plscox(
     components (keep small — they're Cox covariates in stage 3)."""
     X = jnp.asarray(X)
     time = jnp.asarray(time)
+    event = jnp.asarray(event).reshape(-1)
     if X.shape[0] != time.shape[0]:
         raise ValueError("X and time disagree on N")
+    if event.shape[0] != time.shape[0]:
+        # must be validated HERE: inside jit the event[order] gather would
+        # silently clamp out-of-range indices and train on garbage
+        raise ValueError("event and time disagree on N")
     if not (1 <= A <= X.shape[1]):
         raise ValueError(f"A={A} out of range")
     return _fit_plscox(X, time, event, A, int(n_newton), precision)

@@ -113,8 +113,7 @@ def fit_plsglm(
     else:
         eta0 = jnp.log(ybar)
 
-    def step(carry, _):
-        eta, _, _ = carry
+    def irls_once(eta):
         mu = _inv_link(eta, family)
         if family == "binomial":
             w = jnp.clip(mu * (1 - mu), _EPS, None)
@@ -128,37 +127,28 @@ def fit_plsglm(
         sw = jnp.sum(w)
         xbar = (w @ X) / sw
         zbar = (w @ z) / sw
-        Xc = X - xbar[None, :]
-        zc = z - zbar
         f = _fit(
-            Xc, zc[:, None], A, method,
+            X - xbar[None, :], (z - zbar)[:, None], A, method,
             sample_weight=w, precision=precision,
         )
         b = coefficients(f)[:, 0]
         b0 = zbar - xbar @ b
-        eta_new = b0 + X @ b
-        return (eta_new, b, b0), None
+        return f, b, b0, b0 + X @ b
 
-    b0_init = jnp.zeros((K,), X.dtype)
-    (eta, b, b0), _ = jax.lax.scan(
-        step, (jnp.full((N,), eta0, X.dtype), b0_init, eta0), None,
-        length=n_irls,
+    # first IRLS step outside the scan (gives the carry its PLSFit
+    # structure); the stored fit is CARRIED so pls/coef/intercept/eta all
+    # describe the same final iterate — no trailing half-step refit
+    f, b, b0, eta = irls_once(jnp.full((N,), eta0, X.dtype))
+
+    def step(carry, _):
+        eta, _, _, _ = carry
+        f, b, b0, eta_new = irls_once(eta)
+        return (eta_new, f, b, b0), None
+
+    (eta, f, b, b0), _ = jax.lax.scan(
+        step, (eta, f, b, b0), None, length=max(n_irls - 1, 0)
     )
     mu = _inv_link(eta, family)
-    # final PLS state for scores/loadings introspection
-    w_f = (
-        jnp.clip(mu * (1 - mu), _EPS, None)
-        if family == "binomial"
-        else jnp.clip(mu, _EPS, None)
-    )
-    z_f = eta + (y - mu) / w_f
-    sw = jnp.sum(w_f)
-    xbar = (w_f @ X) / sw
-    f = _fit(
-        X - xbar[None, :],
-        (z_f - (w_f @ z_f) / sw)[:, None],
-        A, method, sample_weight=w_f, precision=precision,
-    )
     return PLSGLMFit(
         pls=f, coef=b, intercept=b0,
         deviance=_deviance(y, mu, family), family=family,

@@ -193,9 +193,15 @@ def _fit_plspm(
     endo = jnp.sum(path, axis=1) > 0
     r2 = jnp.where(endo, r2, 0.0)
     communality = loadings**2
+    # GoF averages communality over the MODEL's manifest variables only —
+    # columns assigned to no block (allowed) have loading 0 and must not
+    # deflate the mean
+    in_block = jnp.sum(mask, axis=1) > 0
+    mean_comm = jnp.sum(jnp.where(in_block, communality, 0.0)) / jnp.sum(
+        in_block
+    )
     gof = jnp.sqrt(
-        jnp.mean(communality)
-        * (jnp.sum(r2) / jnp.maximum(jnp.sum(endo), 1))
+        mean_comm * (jnp.sum(r2) / jnp.maximum(jnp.sum(endo), 1))
     )
     return PLSPMFit(
         W=W, scores=S, loadings=loadings, paths=paths, r2=r2,

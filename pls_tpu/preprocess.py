@@ -28,10 +28,20 @@ class ZScorer:
     stdev: jax.Array  # zero-guarded (constant columns carry stdev 1)
 
     @classmethod
-    def fit(cls, mat) -> "ZScorer":
+    def fit(cls, mat, sample_weight=None) -> "ZScorer":
+        """Column means/stdevs; with `sample_weight` (N,), frequency-
+        weighted moments (denominator Σw − 1), so integer weights are
+        exactly equivalent to z-scoring the row-repeated dataset."""
         mat = jnp.asarray(mat)
-        mean = jnp.mean(mat, axis=0)
-        sd = colwise_stdev(mat, mean)
+        if sample_weight is None:
+            mean = jnp.mean(mat, axis=0)
+            sd = colwise_stdev(mat, mean)
+        else:
+            w = jnp.asarray(sample_weight, mat.dtype).reshape(-1)
+            sw = jnp.sum(w)
+            mean = (w @ mat) / sw
+            d = mat - mean[None, :]
+            sd = jnp.sqrt((w @ (d * d)) / jnp.maximum(sw - 1.0, 1.0))
         return cls(mean=mean, stdev=jnp.where(sd == 0, jnp.ones_like(sd), sd))
 
     def transform(self, mat) -> jnp.ndarray:

@@ -322,23 +322,26 @@ def uve_pls(
     N, K = X.shape
     if isinstance(key, int):
         key = jax.random.key(key)
-    noise = noise_scale * jax.random.normal(key, (N, K), X.dtype)
+    k_noise, k_fold = jax.random.split(key)  # never reuse a jax PRNG key
+    noise = noise_scale * jax.random.normal(k_noise, (N, K), X.dtype)
     Xa = jnp.concatenate([X, noise], axis=1)
 
     folds = N if k is None else k
-    assign = kfold_assignments(N, folds, None if k is None else key)
+    assign = kfold_assignments(N, folds, None if k is None else k_fold)
 
     def fold(fid):
         keep = (assign != fid).astype(X.dtype)
         f = fit(Xa, Y, A, method, row_mask=keep, precision=precision)
         from pls_tpu.models.predict import coefficients
 
-        return coefficients(f)[:, 0]  # (2K,) first response
+        return coefficients(f)  # (2K, M)
 
-    B = padded_map(fold, jnp.arange(folds), batch_size)  # (folds, 2K)
+    B = padded_map(fold, jnp.arange(folds), batch_size)  # (folds, 2K, M)
     mean = jnp.mean(B, axis=0)
     std = jnp.std(B, axis=0, ddof=1)
-    c = jnp.abs(mean / jnp.where(std == 0, jnp.inf, std))
+    c = jnp.abs(mean / jnp.where(std == 0, jnp.inf, std))  # (2K, M)
+    # multi-response: a variable is informative if stable for ANY response
+    c = jnp.max(c, axis=1)
     c_real = np.asarray(c[:K])
     cutoff = float(jnp.max(c[K:]))
     return UVEResult(

@@ -69,8 +69,12 @@ def _msc_apply(X: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     mu = jnp.mean(X, axis=1, keepdims=True)
     # per-row OLS of x on [1, ref]:  b = cov(ref, x)/var(ref), a = x̄ − b·ref̄
     b = ((X - mu) @ refc) / denom  # (N,)
-    b = jnp.where(b == 0, jnp.ones_like(b), b)  # degenerate rows pass through
-    a = mu[:, 0] - b * jnp.mean(ref)
+    # degenerate rows (near-zero slope, e.g. a dead sensor) pass through
+    # UNCHANGED: an exact-zero-only guard would let b ~ 1e-12 blow the
+    # row up by 1/b
+    degenerate = jnp.abs(b) < 1e-8
+    b = jnp.where(degenerate, 1.0, b)
+    a = jnp.where(degenerate, 0.0, mu[:, 0] - b * jnp.mean(ref))
     return (X - a[:, None]) / b[:, None]
 
 
@@ -265,13 +269,11 @@ def apply_chain(X, spec: str) -> jnp.ndarray:
 
 
 def _transformer_tags():
-    """sklearn >= 1.6 tag object for a transformer (lazy sklearn import)."""
-    from sklearn.base import BaseEstimator, TransformerMixin
+    """sklearn ≥1.6 tag object for a transformer (lazy import — shared
+    shim lives in estimator.py)."""
+    from pls_tpu.estimator import _sklearn_tags
 
-    class _Shim(TransformerMixin, BaseEstimator):
-        pass
-
-    return _Shim().__sklearn_tags__()
+    return _sklearn_tags("transformer")
 
 
 class _StatelessTransformer:

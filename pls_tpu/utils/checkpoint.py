@@ -139,8 +139,9 @@ def save_fit_orbax(fit, path: str) -> None:
     Unlike the .npz path this preserves jax.Array shardings and writes
     each host's shards in parallel — the right backend for multi-host
     meshes and for fits too large for one host's memory.  `path` is a
-    directory that must not yet exist; metadata (pytree type + static aux
-    fields) lands in `meta.json` beside orbax's array store."""
+    directory; an existing checkpoint there is overwritten (same
+    semantics as save_fit's np.savez).  Metadata (pytree type + static
+    aux fields) lands in `meta.json` beside orbax's array store."""
     _ensure_ext_types()
     import os
 
@@ -164,7 +165,10 @@ def save_fit_orbax(fit, path: str) -> None:
         else:
             arrays[key] = v
     os.makedirs(path, exist_ok=True)
-    ocp.PyTreeCheckpointer().save(os.path.join(path, "arrays"), arrays)
+    # force=True: overwrite an existing checkpoint (np.savez semantics)
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(path, "arrays"), arrays, force=True
+    )
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(
             {"type": name, "aux": _collect_aux(fit), "empties": empties}, fh

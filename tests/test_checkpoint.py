@@ -114,3 +114,16 @@ class TestOrbaxCheckpoint:
         np.testing.assert_allclose(
             np.asarray(f.W), np.asarray(f2.W), rtol=0, atol=0
         )
+
+    def test_orbax_overwrite(self, toy, tmp_path):
+        """Re-saving to the same path overwrites (np.savez semantics)."""
+        from pls_tpu.utils.checkpoint import load_fit_orbax, save_fit_orbax
+
+        X, Y = toy
+        f1 = pt.fit(jnp.asarray(X), jnp.asarray(Y), 1)
+        f2 = pt.fit(jnp.asarray(X), jnp.asarray(Y), 2)
+        p = str(tmp_path / "orbax_rw")
+        save_fit_orbax(f1, p)
+        save_fit_orbax(f2, p)  # must not raise
+        got = load_fit_orbax(p)
+        assert got.W.shape == f2.W.shape

@@ -114,3 +114,17 @@ def test_uve_pls_screens_noise():
     # LOO variant (k=None) also runs
     res_loo = select.uve_pls(X, y, A=6)
     assert res_loo.selected[:8].sum() >= 6
+
+
+def test_uve_pls_multi_response():
+    """A variable informative for ANY response survives the screen."""
+    rng = np.random.default_rng(5)
+    n, K = 80, 16
+    X = rng.normal(size=(n, K))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    y1 = X[:, 0] * 2 + 0.05 * rng.normal(size=n)   # only var 0
+    y2 = X[:, 5] * 2 + 0.05 * rng.normal(size=n)   # only var 5
+    Y = np.stack([y1, y2], axis=1)
+    Y = (Y - Y.mean(0)) / Y.std(0, ddof=1)
+    res = select.uve_pls(jnp.asarray(X), jnp.asarray(Y), A=4, k=10)
+    assert res.selected[0] and res.selected[5]

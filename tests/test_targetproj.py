@@ -3,6 +3,7 @@ sample_weight through the estimator facade."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pls_tpu.estimator import PLSRegressor
 from pls_tpu.models.kernel_pls import fit
@@ -64,15 +65,21 @@ def test_selectivity_ratio_multi_response_column():
     assert np.allclose(sr0, sr1, atol=1e-8)
 
 
-def test_estimator_sample_weight_equals_row_repetition():
+@pytest.mark.parametrize("scale", [False, True])
+def test_estimator_sample_weight_equals_row_repetition(scale):
+    """Integer weights ≡ physically repeated rows — including through the
+    internal z-scoring (scale=True uses weighted moments)."""
     X, y = _data(n=30)
-    X = np.asarray(X)
-    y = np.asarray(y)
+    X = np.asarray(X) * 2.0 + 5.0  # raw units so scaling matters
+    y = np.asarray(y) * 3.0 - 1.0
     w = np.ones(30)
     w[:5] = 3.0  # triple-weight the first five rows
-    est_w = PLSRegressor(n_components=4, scale=False).fit(X, y, sample_weight=w)
+    est_w = PLSRegressor(n_components=4, scale=scale).fit(
+        X, y, sample_weight=w
+    )
     X_rep = np.concatenate([np.repeat(X[:5], 3, axis=0), X[5:]])
     y_rep = np.concatenate([np.repeat(y[:5], 3, axis=0), y[5:]])
-    est_r = PLSRegressor(n_components=4, scale=False).fit(X_rep, y_rep)
+    est_r = PLSRegressor(n_components=4, scale=scale).fit(X_rep, y_rep)
     assert np.allclose(est_w.coef_, est_r.coef_, atol=1e-9)
-    assert np.allclose(est_w.predict(X), est_r.predict(X), atol=1e-9)
+    assert np.allclose(est_w.intercept_, est_r.intercept_, atol=1e-9)
+    assert np.allclose(est_w.predict(X), est_r.predict(X), atol=1e-8)

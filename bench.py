@@ -52,11 +52,15 @@ def supervise() -> int:
     import signal
     import subprocess
 
-    budget = float(os.environ.get("PLS_BENCH_BUDGET_SEC", "420"))
+    budget = float(os.environ.get("PLS_BENCH_BUDGET_SEC", "540"))
     start = time.monotonic()
+    # Attempt 1 gets the biggest window: the dominant failure mode is a
+    # one-off first-execution stall in a fresh process (observed 120-190 s,
+    # occasionally longer), and the measurement itself takes ~15 s once
+    # past it.  Retries start with a warm compilation cache.
     attempts = [
-        ({}, budget * 0.45),
-        ({}, budget * 0.35),
+        ({}, budget * 0.5),
+        ({}, budget * 0.3),
         ({"JAX_PLATFORMS": "cpu"}, budget * 0.2),  # last resort: CPU
     ]
     for extra_env, tmo in attempts:
@@ -124,7 +128,9 @@ def main() -> int:
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    N, K = (65536, 2048) if on_tpu else (8192, 1024)
+    # 1 GB operand: large enough that the per-component normalize step and
+    # chain bookkeeping (~50 µs) are <4% of the ~1.5 ms kernel time
+    N, K = (131072, 2048) if on_tpu else (8192, 1024)
     dtype = jnp.float32
     gb = N * K * 4 / 1e9
 
@@ -136,43 +142,48 @@ def main() -> int:
     jax.block_until_ready((X, r0))
     log(f"backend={backend} N={N} K={K} ({gb*1e3:.0f} MB operand)")
 
-    def make_chain(step_fn, iters):
-        """ONE jitted program running `iters` dependency-chained component
-        updates (r_{i+1} = normalize(p_i)), returning the final tt scalar.
-        A single dispatch + single readback per measurement: per-call relay
-        RTT and Python dispatch overhead become a CONSTANT that the slope
-        between two chain lengths cancels exactly — unlike a Python-level
-        dispatch loop, whose per-iteration RPC overhead scales with iters
-        and shows up as run-to-run noise on tunnel-attached TPUs."""
+    def slope_time(pass_fn, label, short=10, long=50, reps=5, operand=None):
+        """Dependency-chained component updates (r_{i+1} = normalize(p_i),
+        the same dependency structure as the real PLS scan), dispatched as
+        a PYTHON-level loop of ONE jitted step program: the device must
+        serialize the steps through the data dependency, and dispatch is
+        async on the tunnel runtime, so the device stays busy as long as
+        per-dispatch overhead < kernel time (~1.5 ms here; validated:
+        Python-level chaining and a single 50-step jitted chain program
+        measure within 2% of each other).  One scalar readback at the end
+        of each run forces completion; the slope between two chain lengths
+        cancels the constant dispatch/readback/sync overhead.
+
+        Why not ONE jitted N-step chain program (the r01/r02 method): a
+        program embedding 50 pallas custom-calls cold-compiles in >180 s
+        through this tunnel's remote compile helper — longer than the
+        supervisor's watchdog — whereas the single-step program compiles
+        in ~1 s and is shared by every chain length and retry."""
+        operand = X if operand is None else operand
+        r_init = r0.astype(operand.dtype)
+        odtype = operand.dtype
 
         @jax.jit
-        def chain(operand, r):
+        def advance(p):
+            return (p * jax.lax.rsqrt(p @ p)).astype(odtype)
+
+        def run_chain(iters):
+            r = r_init
             tt = None
             for _ in range(iters):
-                t, tt, p = step_fn(operand, r)
-                r = (p * jax.lax.rsqrt(p @ p)).astype(r.dtype)
-            return tt
+                t, tt, p = pass_fn(operand, r)
+                r = advance(p)
+            return float(tt)  # single sync point
 
-        return chain
-
-    def slope_time(pass_fn, label, short=10, long=50, reps=5, operand=None):
-        # chain lengths sized so kernel time dominates the ~20 ms relay
-        # dispatch+readback constant: at ~0.8 ms/component the long chain
-        # carries ~40 ms of kernel work, putting best-of-5 slope noise
-        # under ~2%
-        operand = X if operand is None else operand
-        r = r0.astype(operand.dtype)
-        chains = {n: make_chain(pass_fn, n) for n in (short, long)}
         t0 = time.perf_counter()
-        for c in chains.values():  # compile + first run
-            float(c(operand, r))
+        run_chain(1)  # compile step + advance, first run
         log(f"{label} compile+first: {time.perf_counter()-t0:.1f}s")
         times = {}
-        for iters, c in chains.items():
+        for iters in (short, long):
             runs = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(c(operand, r))
+                run_chain(iters)
                 runs.append(time.perf_counter() - t0)
             times[iters] = min(runs)
             log(f"{label} iters={iters}: best {times[iters]*1e3:.1f} ms")

@@ -75,9 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", metavar="PATH", default=None,
                    help="also write a structured JSON report")
     p.add_argument(
-        "--use-pallas", choices=["off", "scan", "unroll"], default="off",
-        help="fused deflation kernel in the fit (TPU): 'unroll' is the "
-        "fast-compiling production path (docs/PERF.md)",
+        "--use-pallas", choices=["auto", "off", "scan", "unroll"],
+        default="auto",
+        help="fused deflation kernel in the fit (TPU): 'auto' (default) "
+        "selects 'unroll' when it pays off (models/kernel_pls."
+        "auto_pallas_mode); 'unroll' is the fast-compiling production "
+        "path (docs/PERF.md)",
     )
     p.add_argument(
         "--preprocess", default=None, metavar="CHAIN",

@@ -30,7 +30,7 @@ class PLSRunConfig:
     alpha: float = 0.1  # Wilcoxon selector level (pls.h:152)
     json_out: str | None = None
     complex_format: bool = False  # Eigen '(re,0)' tuples for byte diffing
-    use_pallas: str = "off"  # "off" | "scan" | "unroll" (docs/PERF.md)
+    use_pallas: str = "auto"  # "auto" | "off" | "scan" | "unroll" (docs/PERF.md)
     preprocess: str | None = None  # spectral chain for X, e.g. "savgol:11:2:1,snv"
     extra: dict = field(default_factory=dict)
 
@@ -67,9 +67,8 @@ def run_pipeline(cfg: PLSRunConfig, *, file=None) -> dict:
 
     model = PLSModel(
         X, Y, cfg.method, cfg.num_components,
-        use_pallas={"off": None, "scan": True, "unroll": "unroll"}[
-            cfg.use_pallas
-        ],
+        use_pallas={"auto": None, "off": False, "scan": True,
+                    "unroll": "unroll"}[cfg.use_pallas],
     )
     model.print_state(file=file, complex_format=cfg.complex_format)
     model.print_explained_variance(X, Y, file=file)

@@ -132,6 +132,14 @@ class PLSModel:
             power_iters=self._power_iters, precision=self._precision,
         )
 
+    def _require_data(self) -> None:
+        if self._X is None:
+            raise ValueError(
+                "this model was loaded from a data-less checkpoint "
+                "(save(include_data=False)); pass X/Y explicitly, or "
+                "re-save the original model with include_data=True"
+            )
+
     @staticmethod
     def _as_col(Y) -> jnp.ndarray:
         """Promote 1-D response vectors to (n, 1) columns — the convention
@@ -142,7 +150,11 @@ class PLSModel:
 
     # ---------- prediction / diagnostics ----------
     def scores(self, X_new=None, comp: int | None = None) -> jnp.ndarray:
-        X_new = self._X if X_new is None else jnp.asarray(X_new)
+        if X_new is None:
+            self._require_data()
+            X_new = self._X
+        else:
+            X_new = jnp.asarray(X_new)
         return _predict.scores(self._fit, X_new, comp)
 
     def loadingsX(self, comp: int | None = None) -> jnp.ndarray:
@@ -155,15 +167,23 @@ class PLSModel:
         return _predict.coefficients(self._fit, comp)
 
     def fitted_values(self, X_new=None, comp: int | None = None) -> jnp.ndarray:
-        X_new = self._X if X_new is None else jnp.asarray(X_new)
+        if X_new is None:
+            self._require_data()
+            X_new = self._X
+        else:
+            X_new = jnp.asarray(X_new)
         return _predict.fitted_values(self._fit, X_new, comp)
 
     def residuals(self, X_new=None, Y_new=None, comp: int | None = None) -> jnp.ndarray:
+        if X_new is None or Y_new is None:
+            self._require_data()
         X_new = self._X if X_new is None else jnp.asarray(X_new)
         Y_new = self._Y if Y_new is None else self._as_col(Y_new)
         return _predict.residuals(self._fit, X_new, Y_new, comp)
 
     def SSE(self, X_new=None, Y_new=None, comp: int | None = None) -> jnp.ndarray:
+        if X_new is None or Y_new is None:
+            self._require_data()
         X_new = self._X if X_new is None else jnp.asarray(X_new)
         Y_new = self._Y if Y_new is None else self._as_col(Y_new)
         return _predict.sse(self._fit, X_new, Y_new, comp)
@@ -171,12 +191,15 @@ class PLSModel:
     def explained_variance(
         self, X_new=None, Y_new=None, comp: int | None = None
     ) -> jnp.ndarray:
+        if X_new is None or Y_new is None:
+            self._require_data()
         X_new = self._X if X_new is None else jnp.asarray(X_new)
         Y_new = self._Y if Y_new is None else self._as_col(Y_new)
         return _predict.explained_variance(self._fit, X_new, Y_new, comp)
 
     # ---------- cross-validation ----------
     def cv_LOO(self, *, batch_size: int | None = None, downdate: bool = False) -> Residual:
+        self._require_data()
         if downdate:
             if self._method not in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
                 raise ValueError(
@@ -210,6 +233,7 @@ class PLSModel:
         """Monte-Carlo CV.  `rng` may be a GccRng (bit-exact reference
         partitions; stateful across calls like the reference's
         `std::mt19937&` argument), a jax PRNG key, or an int jax seed."""
+        self._require_data()
         N = self._X.shape[0]
         partitions = key = None
         if isinstance(rng, GccRng):
@@ -241,6 +265,8 @@ class PLSModel:
 
         from pls_tpu.cv.bootstrap import bootstrap_coefficient_intervals
 
+        self._require_data()
+
         key = jax.random.key(0) if key is None else key
         A = self.A if comp is None else comp
         return bootstrap_coefficient_intervals(
@@ -257,6 +283,8 @@ class PLSModel:
         from pls_tpu.models.predict import residuals_all_components
         from pls_tpu.ops.stats import sst
 
+        if X is None or Y is None:
+            self._require_data()
         X = self._X if X is None else jnp.asarray(X)
         Y = self._Y if Y is None else self._as_col(Y)
         res = residuals_all_components(self._fit, X, Y)  # (n, A, M)
@@ -301,14 +329,26 @@ class PLSModel:
                 print("", file=file)
 
     # ---------- checkpointing (absent in the reference; SURVEY.md §5) ----------
-    def save(self, path: str) -> None:
-        """Serialize fit state + preprocessing-free data refs to .npz."""
+    def save(self, path: str, *, include_data: bool = False) -> None:
+        """Serialize the fit state (W/P/Q/R/T + config) to .npz.
+
+        By default the training data is NOT embedded: the model part is
+        O(K·(3A+M)) floats, while X at framework scale (1M×10k) would be
+        ~40 GB.  A model loaded without data predicts on new data but
+        cannot re-run CV or no-argument diagnostics; pass
+        `include_data=True` (the parity-test escape hatch) to restore the
+        old everything-works-after-load behavior."""
         f = self._fit
-        np.savez(
-            path,
+        arrays = dict(
             W=np.asarray(f.W), P=np.asarray(f.P), Q=np.asarray(f.Q),
             R=np.asarray(f.R), T=np.asarray(f.T),
-            X=np.asarray(self._X), Y=np.asarray(self._Y),
+        )
+        if include_data:
+            arrays["X"] = np.asarray(self._X)
+            arrays["Y"] = np.asarray(self._Y)
+        np.savez(
+            path,
+            **arrays,
             meta=json.dumps({
                 "method": self._method.value, "A": f.A,
                 "power_iters": self._power_iters,
@@ -320,14 +360,25 @@ class PLSModel:
     def load(cls, path: str) -> "PLSModel":
         z = np.load(path, allow_pickle=False)
         meta = json.loads(str(z["meta"]))
+        method = METHOD(meta["method"])
         fit_state = PLSFit(
             W=jnp.asarray(z["W"]), P=jnp.asarray(z["P"]), Q=jnp.asarray(z["Q"]),
             R=jnp.asarray(z["R"]), T=jnp.asarray(z["T"]),
-            method=METHOD(meta["method"]),
+            method=method,
         )
-        return cls(
-            z["X"], z["Y"], METHOD(meta["method"]), meta["A"],
-            power_iters=meta.get("power_iters"),
-            precision=meta.get("precision", "highest"),
-            _fit_state=fit_state,
-        )
+        if "X" in z:
+            return cls(
+                z["X"], z["Y"], method, meta["A"],
+                power_iters=meta.get("power_iters"),
+                precision=meta.get("precision", "highest"),
+                _fit_state=fit_state,
+            )
+        # data-less checkpoint: bypass __init__ (which requires X/Y)
+        m = object.__new__(cls)
+        m._X = None
+        m._Y = None
+        m._method = method
+        m._power_iters = meta.get("power_iters")
+        m._precision = meta.get("precision", "highest")
+        m._fit = fit_state
+        return m

@@ -41,6 +41,41 @@ import jax.numpy as jnp
 from pls_tpu.ops.eigen import dominant_eigenvector
 from pls_tpu.types import METHOD, PLSFit
 
+# auto-dispatch thresholds (auto_pallas_mode): the unrolled fit compiles
+# A top-level pallas_call programs (~seconds each on remote-compile
+# relays), so cap A; below ~32 MB of X the two XLA passes are already
+# sub-millisecond and compile cost dominates any bandwidth win
+_AUTO_MAX_COMPONENTS = 32
+_AUTO_MIN_BYTES = 32 * 2**20
+
+
+def auto_pallas_mode(
+    N: int, K: int, A: int, itemsize: int = 4, *,
+    backend_supported: bool | None = None,
+) -> str | bool:
+    """Decision table for `use_pallas=None/"auto"`: returns "unroll" when
+    the fused deflation kernel should run, else False.
+
+    Conditions (all must hold):
+      - Pallas available, non-CPU backend, and a (16, K) row tile fits
+        the VMEM tile budget (ops/deflate.pallas_supported) — pass
+        `backend_supported` to override for testing;
+      - A ≤ 32 (compile cost of the unrolled fit scales with A);
+      - N·K·itemsize ≥ 32 MB (X streaming must dominate for the
+        halved-HBM-traffic win to matter).
+    """
+    if backend_supported is None:
+        from pls_tpu.ops.deflate import pallas_supported
+
+        backend_supported = pallas_supported(K, itemsize)
+    if not backend_supported:
+        return False
+    if A > _AUTO_MAX_COMPONENTS:
+        return False
+    if N * K * itemsize < _AUTO_MIN_BYTES:
+        return False
+    return "unroll"
+
 
 def fit(
     X: jnp.ndarray,
@@ -75,11 +110,12 @@ def fit(
          CPU; None to use the session default, e.g. bf16-on-MXU for speed).
       use_pallas: KERNEL_TYPE1 only — run the per-component (t, tt, p)
          X-streaming pass as the fused Pallas kernel (ops/deflate.py),
-         halving HBM traffic.  False (default; see code note), True
-         (kernel inside the component lax.scan), or "unroll" (kernel in
-         an unrolled component loop — A top-level pallas_calls, which
-         remote-compile TPU relays handle in seconds where the
-         pallas-in-scan program takes ~20 min).
+         halving HBM traffic.  None/"auto" (default): auto-select
+         "unroll" on TPU when it pays off (see auto_pallas_mode); False:
+         plain XLA two-pass; True: kernel inside the component lax.scan;
+         "unroll": kernel in an unrolled component loop — A top-level
+         pallas_calls, which remote-compile TPU relays handle in seconds
+         where the pallas-in-scan program takes ~20 min.
 
     Returns: PLSFit pytree (W, P, Q, R, T, method).
     """
@@ -105,21 +141,24 @@ def fit(
         Y = Y * w
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
+        if use_pallas is None or use_pallas == "auto":
+            # Auto: select the fused kernel in "unroll" mode when it pays
+            # off (decision table: auto_pallas_mode).  Inside a trace
+            # (vmapped CV refits, user jit) stay on the XLA path — the
+            # batched pallas lowering is not the case the kernel is tuned
+            # for, and CV fits are MXU-shaped anyway.
+            if isinstance(X, jax.core.Tracer) or method != METHOD.KERNEL_TYPE1:
+                use_pallas = False
+            else:
+                use_pallas = auto_pallas_mode(N, K, A, X.dtype.itemsize)
         unroll = use_pallas == "unroll"
         if unroll:
             # unrolled component loop: A identical top-level pallas_call
             # programs instead of one pallas-in-scan — much friendlier to
-            # remote-compile TPU setups (see use_pallas=None note below)
+            # remote-compile TPU setups, which handle A small programs in
+            # seconds where the pallas-in-scan program takes ~20 min
+            # (docs/PERF.md)
             use_pallas = True
-        if use_pallas is None:
-            # Opt-in (pass use_pallas=True): the fused kernel halves the
-            # fit's HBM traffic and is validated in interpret mode and as
-            # a standalone pass on hardware (bench.py: 706 GB/s), but
-            # embedding pallas_call inside the component scan makes some
-            # remote-compile TPU setups pathologically slow to compile —
-            # too risky for a silent default.  The standalone pass
-            # (ops/deflate.deflate_pass) auto-dispatches independently.
-            use_pallas = False
         return _fit_kernel(
             X, Y, A, type1=(method == METHOD.KERNEL_TYPE1),
             power_iters=power_iters, precision=precision,

@@ -5,22 +5,35 @@ streams X twice:  t = X r  (pass 1),  p = Xᵀ t  (pass 2), plus tt = tᵀt.
 For large X this is HBM-bandwidth-bound, and XLA will not fuse two
 dependent matmuls — X is read from HBM twice per component.
 
-This kernel computes all three in ONE streaming pass: for each row tile
+This kernel computes t and p in ONE streaming pass: for each row tile
 Xᵢ (TN × K) resident in VMEM,
 
-    tᵢ = Xᵢ r          (MXU)
-    tt += tᵢᵀtᵢ        (SMEM scalar accumulator across the sequential grid)
-    p  += Xᵢᵀ tᵢ       (VMEM (K,1) accumulator across the grid)
+    tᵢ = Σ_lanes Xᵢ ⊙ r      (VPU, exact f32)
+    p += Σ_rows  Xᵢ ⊙ tᵢ     (VPU accumulator across the sequential grid)
 
 halving HBM traffic (the roofline for the whole component update, since
 r/p/t are O(N+K) ≪ O(N·K)).  TPU grids execute sequentially on a core, so
 cross-step accumulators in scratch are the idiomatic reduction pattern.
+tt = tᵀt is recovered OUTSIDE the kernel as r·p (= rᵀXᵀXr = tᵀt), one
+K-length exact dot.
+
+Precision/engine history (BENCH_r01/r02, tools/kernel_variants.py):
+the contractions are 1-column matvecs, which use 1/128 of the MXU's
+output lanes; f32-exact MXU emulation (Precision.HIGHEST, 6 passes) made
+the kernel MXU-bound (718 → 248 GB/s).  VPU multiply+reduce is exact in
+f32 and free in an HBM-bound kernel (1 flop/byte vs ~4.7 flops/byte VPU
+roofline).  Layouts matter: r and the p accumulator are (1, K) —
+lane-major, matching both the broadcast of r over rows and the natural
+layout of a row-reduction — where the r02 (K, 1) layout forced a
+lane↔sublane relayout every grid step.  Measured on v5e: 690 GB/s
+one-pass at (65536, 2048) f32 with the chip's same-day XLA full-reduce
+ceiling at 693 GB/s, rel err vs f64 ≈ 2e-7.
 
 Constraints / fallback: the full K extent of a row tile must fit VMEM
-(K ≤ ~16k at f32 with double buffering); `deflate_pass` transparently
-falls back to the two-matmul XLA path when unsupported.  N is padded to
-the row-tile multiple with zero rows (exact: zero rows contribute nothing
-to tt or p).
+(K ≤ ~128k at f32 for a 16-row minimum tile); `deflate_pass`
+transparently falls back to the two-matmul XLA path when unsupported.
+N is padded to the row-tile multiple with zero rows (exact: zero rows
+contribute nothing to p).
 """
 
 from __future__ import annotations
@@ -38,64 +51,77 @@ try:  # Pallas is TPU/GPU-only; keep CPU-only installs importable
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+# per-buffer VMEM budget for the streamed X tile; with Pallas's double
+# buffering this is the dominant VMEM consumer (2 × budget)
+_TILE_BUDGET = 8 * 1024 * 1024
+
 
 def _row_tile(K: int, dtype_bytes: int = 4) -> int:
     """Largest multiple-of-8 row tile whose (TN, K) block fits the VMEM
-    budget (~4 MB per buffer; Pallas double-buffers grid blocks)."""
-    budget = 4 * 1024 * 1024
-    tn = budget // (K * dtype_bytes)
+    tile budget.  tn=1024 at K=2048/f32 measured fastest on v5e
+    (tools/kernel_variants.py sweep: 512→677, 1024→690, 2048→676 GB/s)."""
+    tn = _TILE_BUDGET // (K * dtype_bytes)
     tn = (tn // 8) * 8
     return max(8, min(1024, tn))
 
 
-def _kernel(x_ref, r_ref, t_ref, p_ref, tt_ref, p_acc, tt_acc):
+def _kernel_f32(x_ref, r_ref, t_ref, p_ref, p_acc):
+    """Exact-f32 VPU formulation (see module docstring)."""
     i = pl.program_id(0)
-    n_i = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _init():
         p_acc[:, :] = jnp.zeros_like(p_acc)
-        tt_acc[0, 0] = jnp.zeros((), tt_acc.dtype)
 
     x = x_ref[:, :]
-    r = r_ref[:, :]
-    # f32 inputs: HIGHEST keeps the MXU passes f32-exact (measured rel err
-    # 3e-7 vs f64, compared with ~3e-3 at DEFAULT's bf16 truncation) at NO
-    # bandwidth cost — this kernel is HBM-bound, the MXU is mostly idle.
-    # bf16 inputs: a single bf16xbf16->f32 pass is already exact, so
-    # DEFAULT avoids a pointless upcast.
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if x_ref.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    r = r_ref[:, :]  # (1, K): broadcast over rows is lane-aligned
+    t = jnp.sum(x * r, axis=1, keepdims=True)  # (TN, 1)
+    t_ref[:, :] = t
+    p_acc[:, :] += jnp.sum(x * t, axis=0, keepdims=True)  # (1, K)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        p_ref[:, :] = p_acc[:, :]
+
+
+def _kernel_bf16(x_ref, r_ref, t_ref, p_ref, p_acc):
+    """bf16-input formulation: a single bf16×bf16→f32 MXU pass is exact
+    in the inputs, so DEFAULT-precision matvecs are both fast and as
+    accurate as the data allows."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        p_acc[:, :] = jnp.zeros_like(p_acc)
+
+    x = x_ref[:, :]
+    r = r_ref[:, :]  # (K, 1)
     t = jax.lax.dot_general(
         x, r, (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
     )  # (TN, 1)
-    t_ref[:, :] = t.astype(t_ref.dtype)
-    # p partial: Xᵢᵀ tᵢ — contract over the row (sublane) dimension
-    p_part = jax.lax.dot_general(
-        x, t.astype(x.dtype) if x.dtype != jnp.float32 else t,
-        (((0,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32,
+    t_ref[:, :] = t
+    p_acc[:, :] += jax.lax.dot_general(
+        x, t.astype(x.dtype), (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
     )  # (K, 1)
-    p_acc[:, :] += p_part
-    tt_acc[0, 0] += jnp.sum(t * t)
 
-    @pl.when(i == n_i - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _flush():
-        p_ref[:, :] = p_acc[:, :].astype(p_ref.dtype)
-        tt_ref[0, 0] = tt_acc[0, 0].astype(tt_ref.dtype)
+        p_ref[:, :] = p_acc[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False):
     """X may be float32 or bfloat16 (bf16 halves HBM traffic again; the
-    MXU accumulates in f32 either way).  t/tt/p are always float32."""
+    contraction accumulates in f32 either way).  t/tt/p are always
+    float32."""
     N, K = X.shape
     dtype = X.dtype
     acc = jnp.float32
+    f32 = dtype == jnp.float32
     tn = _row_tile(K, dtype.itemsize)
     if dtype.itemsize < 4:
         tn = max(16, (tn // 16) * 16)  # bf16 sublane tiling multiple
@@ -105,35 +131,48 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
     n_pad = N + pad
     grid = n_pad // tn
 
-    t, p, tt = pl.pallas_call(
-        _kernel,
+    p_shape = (1, K) if f32 else (K, 1)
+    compiler_params = None
+    if not interpret:
+        # double-buffered X tiles exceed the default 16 MB scoped-VMEM
+        # limit at tn=1024; grant headroom explicitly (v5e: 128 MB VMEM)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _TILE_BUDGET + (8 << 20),
+        )
+    t, p = pl.pallas_call(
+        _kernel_f32 if f32 else _kernel_bf16,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tn, K), lambda i: (i, 0)),
-            pl.BlockSpec((K, 1), lambda i: (0, 0)),
+            pl.BlockSpec(p_shape, lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((tn, 1), lambda i: (i, 0)),
-            pl.BlockSpec((K, 1), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM if not interpret else pl.ANY),
+            pl.BlockSpec(p_shape, lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), acc),
-            jax.ShapeDtypeStruct((K, 1), acc),
-            jax.ShapeDtypeStruct((1, 1), acc),
+            jax.ShapeDtypeStruct(p_shape, acc),
         ],
         scratch_shapes=[
-            pltpu.VMEM((K, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM(p_shape, jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=4 * n_pad * K,
             bytes_accessed=n_pad * K * dtype.itemsize,
             transcendentals=0,
         ),
-    )(X, r[:, None].astype(dtype))
-    return t[:N, 0], tt[0, 0], p[:, 0]
+    )(X, r[None, :].astype(dtype) if f32 else r[:, None].astype(dtype))
+    p = p[0] if f32 else p[:, 0]
+    # tt = tᵀt = rᵀ(Xᵀ X r) = r·p, one K-length dot — computed exactly
+    # (HIGHEST) instead of accumulating a scalar in SMEM per grid step
+    tt = jax.lax.dot_general(
+        r.astype(acc), p, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return t[:N, 0], tt, p
 
 
 def deflate_pass_xla(X: jnp.ndarray, r: jnp.ndarray):
@@ -141,6 +180,14 @@ def deflate_pass_xla(X: jnp.ndarray, r: jnp.ndarray):
     the baseline the kernel is benchmarked against."""
     t = X @ r
     return t, t @ t, X.T @ t
+
+
+def pallas_supported(K: int, itemsize: int = 4) -> bool:
+    """True when a (16, K) minimum row tile fits the VMEM tile budget on
+    a non-CPU backend."""
+    if not _HAS_PALLAS or jax.default_backend() in ("cpu",):
+        return False
+    return K * itemsize * 16 <= _TILE_BUDGET
 
 
 def deflate_pass(
@@ -154,12 +201,7 @@ def deflate_pass(
     """
     N, K = X.shape
     if use_pallas is None:
-        on_tpu = jax.default_backend() not in ("cpu",)
-        # a (16, K) minimum tile must fit the per-buffer VMEM budget
-        use_pallas = (
-            _HAS_PALLAS and on_tpu
-            and K * X.dtype.itemsize * 16 <= 8 * 1024 * 1024
-        )
+        use_pallas = pallas_supported(K, X.dtype.itemsize)
     if not use_pallas:
         return deflate_pass_xla(X, r)
     return _deflate_pass_pallas(X, r, interpret=interpret)

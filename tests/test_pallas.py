@@ -52,11 +52,15 @@ def test_zero_row_padding_exact():
 
 
 def test_row_tile_fits_vmem():
-    # 4MB budget per double-buffered block
+    # 8MB tile budget per double-buffered block (ops/deflate._TILE_BUDGET),
+    # tn capped at the measured-fastest 1024
+    from pls_tpu.ops.deflate import _TILE_BUDGET
+
     for K in (128, 1024, 5000, 10000, 16384):
         tn = _row_tile(K)
         assert tn % 8 == 0
-        assert tn * K * 4 <= 4 * 1024 * 1024 or tn == 8
+        assert tn <= 1024
+        assert tn * K * 4 <= _TILE_BUDGET or tn == 8
 
 
 def test_auto_dispatch_on_cpu_uses_xla():
@@ -67,3 +71,63 @@ def test_auto_dispatch_on_cpu_uses_xla():
     t, tt, p = deflate_pass(X, r)  # auto
     t2, tt2, p2 = deflate_pass_xla(X, r)
     np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=0)
+
+
+class TestAutoPallasMode:
+    """Pin the fit's use_pallas auto-dispatch decision table
+    (models/kernel_pls.auto_pallas_mode) — VERDICT r02 #2."""
+
+    def test_decision_table(self):
+        from pls_tpu.models.kernel_pls import auto_pallas_mode as auto
+
+        MB = 2**20
+        # the production case: big X, modest A, TPU available
+        assert auto(65536, 2048, 10, 4, backend_supported=True) == "unroll"
+        # backend unsupported (CPU / huge K): always off
+        assert auto(65536, 2048, 10, 4, backend_supported=False) is False
+        # A above the compile-cost cap: off
+        assert auto(65536, 2048, 33, 4, backend_supported=True) is False
+        assert auto(65536, 2048, 32, 4, backend_supported=True) == "unroll"
+        # X below the streaming-payoff threshold (32 MB): off
+        n_small = (32 * MB) // (2048 * 4) - 8
+        assert auto(n_small, 2048, 10, 4, backend_supported=True) is False
+        assert auto(n_small + 8, 2048, 10, 4, backend_supported=True) == "unroll"
+        # bf16 halves bytes: threshold respects itemsize
+        assert auto(n_small + 8, 2048, 10, 2, backend_supported=True) is False
+
+    def test_fit_auto_is_off_on_cpu_and_matches(self, ):
+        # on this (CPU-default) test backend, auto must silently take the
+        # XLA path and produce identical results to use_pallas=False
+        import jax.numpy as jnp
+
+        from pls_tpu.models.kernel_pls import fit
+        from pls_tpu.types import METHOD
+
+        rng = np.random.default_rng(7)
+        X = jnp.asarray(rng.normal(size=(40, 12)))
+        Y = jnp.asarray(rng.normal(size=(40, 2)))
+        f_auto = fit(X, Y, 3, METHOD.KERNEL_TYPE1)  # use_pallas default
+        f_off = fit(X, Y, 3, METHOD.KERNEL_TYPE1, use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(f_auto.W), np.asarray(f_off.W), atol=0
+        )
+
+    def test_auto_under_vmap_stays_on_xla_path(self):
+        # tracer inputs (vmapped CV refits) must not flip pallas on
+        import jax
+        import jax.numpy as jnp
+
+        from pls_tpu.models.kernel_pls import fit
+        from pls_tpu.types import METHOD
+
+        rng = np.random.default_rng(8)
+        Xs = jnp.asarray(rng.normal(size=(3, 30, 8)))
+        Ys = jnp.asarray(rng.normal(size=(3, 30, 1)))
+        Ws = jax.vmap(lambda X, Y: fit(X, Y, 2, METHOD.KERNEL_TYPE1).W)(Xs, Ys)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(Ws[i]),
+                np.asarray(fit(Xs[i], Ys[i], 2, METHOD.KERNEL_TYPE1,
+                               use_pallas=False).W),
+                rtol=1e-12,
+            )

@@ -83,9 +83,23 @@ def main() -> int:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps
 
-    report = {"backend": backend, "mode": "virtual-cpu" if backend == "cpu" else "hw",
+    virtual = backend == "cpu"
+    report = {"backend": backend, "mode": "virtual-cpu" if virtual else "hw",
               "shape": [args.n, args.k, args.m, args.a], "rows_scaling": {},
               "folds_scaling": {}}
+    if virtual:
+        # Efficiency figures are MEANINGLESS on virtual devices (they
+        # timeslice one socket), so they are omitted entirely — the run
+        # only validates that the sharded execution paths work at every
+        # device count.  The ≥80% north-star efficiency target is defined
+        # against real multi-chip hardware (v5p-16 ICI), where each mesh
+        # step adds real HBM+ICI, not a slice of the same socket.
+        report["disclaimer"] = (
+            "path-validation only: virtual CPU devices timeslice one "
+            "socket, so per-device efficiency cannot be measured and is "
+            "omitted; measure on real multi-chip hardware (e.g. v5p-16) "
+            "for the >=80% scaling target"
+        )
 
     sizes = [d for d in (1, 2, 4, 8) if d <= len(devs)]
     base_fit = base_cv = None
@@ -101,14 +115,15 @@ def main() -> int:
         )
         base_fit = base_fit or t_fit
         base_cv = base_cv or t_cv
-        report["rows_scaling"][d] = {
-            "sec": round(t_fit, 5),
-            "efficiency": round(base_fit / (t_fit * d), 3),
-        }
-        report["folds_scaling"][d] = {
-            "sec": round(t_cv, 5),
-            "efficiency": round(base_cv / (t_cv * d), 3),
-        }
+        report["rows_scaling"][d] = {"sec": round(t_fit, 5)}
+        report["folds_scaling"][d] = {"sec": round(t_cv, 5)}
+        if not virtual:
+            report["rows_scaling"][d]["efficiency"] = round(
+                base_fit / (t_fit * d), 3
+            )
+            report["folds_scaling"][d]["efficiency"] = round(
+                base_cv / (t_cv * d), 3
+            )
         print(f"devices={d} fit={t_fit*1e3:.1f}ms cv={t_cv*1e3:.1f}ms",
               file=sys.stderr)
 

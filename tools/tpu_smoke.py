@@ -46,11 +46,11 @@ def main() -> int:
 
     t, tt, p = _deflate_pass_pallas(X, r)
     t2, tt2, p2 = jax.jit(deflate_pass_xla)(X, r)
-    # ground truth in f64 on the host: the kernel pins its MXU passes to
-    # f32-exact (Precision.HIGHEST — ops/deflate.py), while the XLA
-    # two-pass comparison runs at the session default (bf16 on TPU), so
-    # pallas-vs-xla disagreement is the XLA path's truncation, not a
-    # kernel bug.  Assert the kernel against the truth.
+    # ground truth in f64 on the host: the kernel computes its
+    # contractions as exact-f32 VPU multiply+reduce (ops/deflate.py),
+    # while the XLA two-pass comparison runs at the session default
+    # (bf16 MXU on TPU), so pallas-vs-xla disagreement is the XLA path's
+    # truncation, not a kernel bug.  Assert the kernel against the truth.
     Xd = np.asarray(X, np.float64)
     rd = np.asarray(r, np.float64)
     td = Xd @ rd

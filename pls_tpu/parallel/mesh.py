@@ -43,18 +43,41 @@ def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    *,
+    retries: int = 3,
+    retry_delay_sec: float = 5.0,
 ) -> None:
-    """Multi-host bring-up: `jax.distributed.initialize` wrapper.
+    """Multi-host bring-up: `jax.distributed.initialize` wrapper with
+    bounded retry.
 
-    On TPU pods the arguments are discovered from the environment; on CPU
-    or single-host setups this is a no-op if already initialized.
+    On TPU pods the arguments are discovered from the environment.  An
+    "already initialized" condition is a silent no-op; a coordinator
+    connection failure (workers racing the coordinator's startup) is
+    retried `retries` times with `retry_delay_sec` backoff, then
+    re-raised — failing LOUDLY rather than continuing single-process
+    with a mesh the caller believes is multi-host.
+
+    Validated cross-process by tests/test_multiprocess.py (2-process CPU
+    cluster running sharded fits whose psums span processes).
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        # already initialized, or single-process context
-        pass
+    import time
+
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+            return
+        except RuntimeError as e:
+            if "already initialized" in str(e).lower():
+                return
+            last = e
+            if attempt < retries:
+                time.sleep(retry_delay_sec)
+    raise RuntimeError(
+        f"jax.distributed.initialize failed after {retries + 1} attempts "
+        f"(coordinator={coordinator_address})"
+    ) from last

@@ -325,3 +325,56 @@ class TestRound2FamiliesSharded:
             np.asarray(pt.coefficients(sh2)), np.asarray(pt.coefficients(ref2)),
             atol=1e-10,
         )
+
+
+class TestInitializeDistributedRetry:
+    """initialize_distributed must retry coordinator races and re-raise
+    after exhausting retries (VERDICT r02 weak #7: the old wrapper
+    swallowed every RuntimeError, silently degrading to single-process)."""
+
+    def test_already_initialized_is_noop(self, monkeypatch):
+        import jax
+
+        from pls_tpu.parallel.mesh import initialize_distributed
+
+        def boom(**kw):
+            raise RuntimeError("jax.distributed is already initialized")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        initialize_distributed("127.0.0.1:1", 1, 0)  # no raise
+
+    def test_retries_then_raises(self, monkeypatch):
+        import jax
+
+        from pls_tpu.parallel.mesh import initialize_distributed
+
+        calls = []
+
+        def boom(**kw):
+            calls.append(1)
+            raise RuntimeError("connection refused")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            initialize_distributed(
+                "127.0.0.1:1", 2, 0, retries=2, retry_delay_sec=0.0
+            )
+        assert len(calls) == 3
+
+    def test_succeeds_after_transient_failure(self, monkeypatch):
+        import jax
+
+        from pls_tpu.parallel.mesh import initialize_distributed
+
+        calls = []
+
+        def flaky(**kw):
+            calls.append(1)
+            if len(calls) < 2:
+                raise RuntimeError("coordinator not up yet")
+
+        monkeypatch.setattr(jax.distributed, "initialize", flaky)
+        initialize_distributed(
+            "127.0.0.1:1", 2, 0, retries=3, retry_delay_sec=0.0
+        )
+        assert len(calls) == 2

@@ -102,3 +102,63 @@ class TestCrashRecovery:
         assert runner.completed_ranges("lso") == [(0, 8)]
         assert runner.clean_orphans() == 1
         assert not orphan.exists()
+
+    def test_resume_after_sigkill_mid_sweep(self, tmp_path):
+        """Kill a sweep subprocess MID-RANGE (between savez and the atomic
+        rename, the worst spot) and assert the resumed sweep completes
+        with errors identical to an uninterrupted run (VERDICT r02 #9)."""
+        import os
+        import subprocess
+        import sys
+
+        sweep_dir = tmp_path / "sweep"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker = f"""
+import os, signal, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)   # match tests/conftest.py
+import numpy as np
+from pls_tpu.cv import resumable
+from pls_tpu.cv.resumable import ResumableCV
+
+rng = np.random.default_rng(3)
+X = rng.normal(size=(24, 6)).astype(np.float64)
+Y = rng.normal(size=(24, 2)).astype(np.float64)
+
+saves = []
+orig_replace = os.replace
+def crashing_replace(src, dst):
+    if len(saves) == 2:          # two ranges published, then die
+        os.kill(os.getpid(), signal.SIGKILL)   # leaves the .tmp orphan
+    orig_replace(src, dst)
+    saves.append(dst)
+resumable.os.replace = crashing_replace
+
+runner = ResumableCV({str(sweep_dir)!r})
+runner.run_loo(X, Y, 3, range_size=8)        # 24 folds -> 3 ranges
+print("UNREACHABLE")
+"""
+        r = subprocess.run(
+            [sys.executable, "-c", worker], capture_output=True, text=True,
+            timeout=600,
+        )
+        assert r.returncode == -9, (r.returncode, r.stderr[-2000:])
+        assert "UNREACHABLE" not in r.stdout
+        # crash state: 2 completed ranges + 1 orphaned tmp
+        runner = ResumableCV(str(sweep_dir))
+        assert runner.completed_ranges("loo") == [(0, 8), (8, 16)]
+        assert runner.clean_orphans() == 1
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(24, 6)).astype(np.float64)
+        Y = rng.normal(size=(24, 2)).astype(np.float64)
+        resumed = runner.run_loo(X, Y, 3, range_size=8)
+
+        fresh = ResumableCV(str(tmp_path / "fresh")).run_loo(
+            X, Y, 3, range_size=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(resumed.errors), np.asarray(fresh.errors)
+        )

@@ -111,7 +111,12 @@ def main() -> int:
     # constant dispatch/readback cost of the relay.
     upd_tflops = None
     try:
-        cached = [gen_chunk(jax.random.fold_in(kchunks, c)) for c in range(n_chunks)]
+        # cap cached chunks to ~2 GB of HBM: at the north-star shape one
+        # (16384, 10k) f32 chunk is 655 MB, and caching all 61 would OOM
+        n_cached = max(2, min(n_chunks, int(2e9 / (args.chunk * K * 4))))
+        cached = [
+            gen_chunk(jax.random.fold_in(kchunks, c)) for c in range(n_cached)
+        ]
         jax.block_until_ready(cached)
 
         @jax.jit
@@ -123,7 +128,7 @@ def main() -> int:
             XYa = jnp.zeros((K, M), jnp.float32)
             t0 = time.perf_counter()
             for c in range(m):
-                Xc, Yc = cached[c % n_chunks]
+                Xc, Yc = cached[c % n_cached]
                 XXa, XYa = upd(XXa, XYa, Xc, Yc)
             float(XXa[0, 0])
             return time.perf_counter() - t0

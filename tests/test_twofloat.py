@@ -160,3 +160,32 @@ def test_compensated_fit_matches_f64():
         return np.max(np.abs(np.abs(np.asarray(f.W)) - np.abs(np.asarray(ref.W))))
 
     assert werr(f_comp) < werr(f_naive)
+
+
+@pytest.mark.slow
+def test_compensated_error_is_n_independent_at_scale():
+    """MPFR-analogue at scale (VERDICT r02 #6): stream 2M rows and check
+    the compensated XᵀX error sits far below plain f32 accumulation and
+    does not grow with N.  The full 10⁷-row curves are recorded in
+    benchmarks/results/precision_at_scale_10M_*.json
+    (tools/precision_at_scale.py); reference escape hatch analogue:
+    /root/reference/include/PLS/pls.h:11-28."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "precision_at_scale", os.path.join(repo, "tools", "precision_at_scale.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    report = mod.run(n_total=2_000_000, chunk=16384, K=32, M=2, seed=0)
+    curves = report["curves"]
+    first, last = curves[0], curves[-1]
+    # compensated: flat (or shrinking) relative error, well under plain
+    assert last["xx_err_comp"] <= 2 * first["xx_err_comp"]
+    assert last["xx_err_comp"] < 0.25 * last["xx_err_plain"]
+    assert last["xx_err_comp"] < 1e-7
+    # plain f32: error accumulates with chunk count
+    assert last["xx_err_plain"] > 1.5 * first["xx_err_plain"]

@@ -214,6 +214,14 @@ def _fit_kernel(
     with _prec_ctx(precision):
         XY0 = X.T @ Y
         XX = None if type1 else X.T @ X
+        Xp = X
+        if type1 and use_pallas:
+            # pad once to the kernel's row tile so the per-component
+            # pallas calls don't each materialize a padded X copy (zero
+            # rows are exact; their score entries are sliced off below)
+            from pls_tpu.ops.deflate import pad_rows_to_tile
+
+            Xp = pad_rows_to_tile(X)
 
         def step(carry, a):
             XY, Pb, Rb = carry
@@ -230,7 +238,7 @@ def _fit_kernel(
                 if use_pallas:
                     from pls_tpu.ops.deflate import deflate_pass
 
-                    t, tt, p = deflate_pass(X, r, use_pallas=True)
+                    t, tt, p = deflate_pass(Xp, r, use_pallas=True)
                 else:
                     t = X @ r
                     tt = t @ t
@@ -268,7 +276,8 @@ def _fit_kernel(
         P=Pb.T,
         Q=Qs.T,
         R=Rb.T,
-        T=Ts.T if type1 else jnp.zeros((0, A), dtype),
+        # slice off any pallas row-padding (zero rows' scores)
+        T=Ts.T[:N] if type1 else jnp.zeros((0, A), dtype),
         method=METHOD.KERNEL_TYPE1 if type1 else METHOD.KERNEL_TYPE2,
     )
 

@@ -175,6 +175,25 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
     return t[:N, 0], tt, p
 
 
+def pad_rows_to_tile(X: jnp.ndarray) -> jnp.ndarray:
+    """Pad X with zero rows to the kernel's row-tile multiple.
+
+    `_deflate_pass_pallas` pads internally when needed, but that
+    concatenate materializes a full X copy PER CALL — callers looping
+    over components (models/kernel_pls.py unroll path) should pad once
+    up front instead.  Zero rows are exact: they contribute nothing to
+    p or tt, and their t entries are 0 (slice them off the score
+    matrix).  Returns X unchanged when already aligned."""
+    N, K = X.shape
+    tn = _row_tile(K, X.dtype.itemsize)
+    if X.dtype.itemsize < 4:
+        tn = max(16, (tn // 16) * 16)
+    pad = (-N) % tn
+    if not pad:
+        return X
+    return jnp.concatenate([X, jnp.zeros((pad, K), X.dtype)])
+
+
 def deflate_pass_xla(X: jnp.ndarray, r: jnp.ndarray):
     """Reference two-matmul formulation (two X passes) — the fallback and
     the baseline the kernel is benchmarked against."""

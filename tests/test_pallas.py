@@ -131,3 +131,35 @@ class TestAutoPallasMode:
                                use_pallas=False).W),
                 rtol=1e-12,
             )
+
+
+def test_fit_pallas_path_interpret_with_padding(monkeypatch):
+    """Run the FIT's pallas branch (incl. the pad-once row padding and
+    score-slice) under interpret mode on CPU: results must match the XLA
+    path exactly, with T sliced back to N rows."""
+    import functools
+
+    import pls_tpu.ops.deflate as dfl
+    from pls_tpu.models.kernel_pls import fit
+    from pls_tpu.types import METHOD
+
+    orig = dfl.deflate_pass
+    monkeypatch.setattr(
+        dfl, "deflate_pass", functools.partial(orig, interpret=True)
+    )
+
+    rng = np.random.default_rng(11)
+    N, K, A = 130, 96, 3  # N deliberately NOT a row-tile multiple
+    X = jnp.asarray(rng.normal(size=(N, K)), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(N, 2)), jnp.float32)
+    f_pal = fit(X, Y, A, METHOD.KERNEL_TYPE1, use_pallas="unroll",
+                precision=None)
+    f_xla = fit(X, Y, A, METHOD.KERNEL_TYPE1, use_pallas=False,
+                precision=None)
+    assert f_pal.T.shape == (N, A)
+    np.testing.assert_allclose(
+        np.asarray(f_pal.W), np.asarray(f_xla.W), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pal.T), np.asarray(f_xla.T), rtol=1e-4, atol=1e-5
+    )

@@ -65,6 +65,7 @@ def main() -> int:
 
     out = {"backend": backend, "N": N, "K": K, "M": M}
     for use_pallas, label in [
+        (None, "auto_default"),  # the no-flag production path (VERDICT #2)
         ("unroll", "pallas_unroll"), (True, "pallas_scan"), (False, "xla"),
     ]:
         if use_pallas and backend == "cpu":

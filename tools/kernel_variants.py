@@ -3,19 +3,21 @@
 
 Explores the implementation space of the one-pass (t = X r, p = Xᵀ t)
 kernel on the real chip so ops/deflate.py ships the fastest *exact-f32*
-formulation.  Variants:
+formulation.  Current variant set: the lane-major (1,K) VPU formulation
+(tt computed OUTSIDE the kernel as r·p) across row-tile sizes
+512/768/1024/1536/2048, the larger tiles with an explicit scoped-VMEM
+grant (the 16 MB default allows only tile 512 double-buffered).
 
-  cur        — ops/deflate.py as shipped (whatever it currently does)
-  vpu_kc1    — VPU reductions, r/p laid out (K,1) (sublane-major: the
-               r02 layout — forces lane<->sublane relayouts)
-  vpu_1k     — VPU reductions, r/p laid out (1,K) (lane-major), tt
-               computed OUTSIDE the kernel as r·p
-  vpu_1k_tt  — same but tt accumulated inside (SMEM scalar)
-  mxu_default— single-pass MXU matvecs, DEFAULT precision (bf16-inexact;
-               speed reference only — r01 shipped this at 718 GB/s)
-
-Each variant also sweeps row-tile sizes.  Timing: dependency-chained
-slope (see bench.py).
+Builders for the other design points measured during round 3 are kept
+below (make_mxu: single/multi-pass MXU matvecs; tt_inside: SMEM scalar
+accumulation) — re-add them to `variants` to reproduce.  Round-3
+measurements at (65536, 2048) f32, GB/s one-pass:
+  shipped r02 (K,1)-layout VPU kernel  663
+  vpu (1,K) tile 512                   677-686
+  vpu (1,K) tile 1024 + vmem grant     690   <- shipped in ops/deflate.py
+  MXU DEFAULT (bf16-inexact)           658
+  XLA same-day single-pass full-reduce ceiling: 693
+Timing: dependency-chained slope (see bench.py).
 
 Usage: python tools/kernel_variants.py [--n 65536] [--k 2048]
 """

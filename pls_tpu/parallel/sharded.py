@@ -112,6 +112,8 @@ def fit_rowsharded_shardmap(
     mesh: Mesh,
     axis: str = "rows",
     power_iters: int | None = None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> PLSFit:
     """Explicit shard_map/psum formulation of the kernel algorithms.
 
@@ -121,6 +123,13 @@ def fit_rowsharded_shardmap(
         single psum of a (K+1)-vector to halve latency cost)
     Type 2's component loop is communication-free — the preferred shape
     for high-latency (DCN) meshes.
+
+    use_pallas=True (type 1): each device streams its LOCAL row shard
+    through the fused deflation kernel (ops/deflate.py — one HBM pass
+    per component instead of two) and contributes its partial [p ; tt]
+    to the same single psum: the multi-chip composition of the
+    single-chip kernel.  `pallas_interpret` runs the kernel in interpret
+    mode (CPU-mesh testing).
     """
     X = jnp.asarray(X)
     Y = jnp.asarray(Y)
@@ -133,10 +142,19 @@ def fit_rowsharded_shardmap(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
         out_specs=(P(), P(), P(), P(), P(axis, None)),
+        # pallas_call's output ShapeDtypeStructs carry no varying-mesh-axes
+        # annotation, which the vma checker rejects inside shard_map; the
+        # psum immediately after the kernel makes the sharding explicit
+        # anyway, so relax the check on the fused path only
+        check_vma=not use_pallas,
     )
     def _fit(Xl, Yl):
         XY0 = jax.lax.psum(Xl.T @ Yl, axis)
         XX = None if type1 else jax.lax.psum(Xl.T @ Xl, axis)
+        if type1 and use_pallas:
+            from pls_tpu.ops.deflate import pad_rows_to_tile
+
+            Xlp = pad_rows_to_tile(Xl)
 
         def step(carry, a):
             XY, Pb, Rb = carry
@@ -148,9 +166,18 @@ def fit_rowsharded_shardmap(
             w = w / jnp.sqrt(w @ w)
             r = w - Rb.T @ (Pb @ w)
             if type1:
-                t = Xl @ r  # local rows
-                # fuse p (=Xᵀt) and tt (=tᵀt) into one all-reduce
-                stats = jnp.concatenate([Xl.T @ t, (t @ t)[None]])
+                if use_pallas:
+                    from pls_tpu.ops.deflate import _deflate_pass_pallas
+
+                    t, tt_l, p_l = _deflate_pass_pallas(
+                        Xlp, r, interpret=pallas_interpret
+                    )
+                    t = t[: Xl.shape[0]]
+                    stats = jnp.concatenate([p_l, tt_l[None]])
+                else:
+                    t = Xl @ r  # local rows
+                    # fuse p (=Xᵀt) and tt (=tᵀt) into one all-reduce
+                    stats = jnp.concatenate([Xl.T @ t, (t @ t)[None]])
                 stats = jax.lax.psum(stats, axis)
                 p, tt = stats[:K], stats[K]
             else:

@@ -64,6 +64,33 @@ class TestShardedFit:
                 np.asarray(sh.T), np.asarray(ref.T), atol=1e-10
             )
 
+    def test_shardmap_pallas_fused_equals_plain(self, data):
+        """The multi-chip composition of the fused deflation kernel: each
+        device streams its LOCAL rows through the Pallas kernel (interpret
+        mode on this CPU mesh) and the partial [p ; tt] joins the same
+        fused psum.  Must agree with the plain shard_map fit and the
+        single-device reference."""
+        X, Y = data
+        X = X.astype(jnp.float32)
+        Y = Y.astype(jnp.float32)
+        mesh = make_pls_mesh(rows=8, folds=1)
+        plain = fit_rowsharded_shardmap(X, Y, 3, mesh=mesh)
+        fused = fit_rowsharded_shardmap(
+            X, Y, 3, mesh=mesh, use_pallas=True, pallas_interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.W), np.asarray(plain.W), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.T), np.asarray(plain.T), rtol=1e-4, atol=1e-5
+        )
+        ref = pt.fit(X, Y, 3, pt.KERNEL_TYPE1, precision=None,
+                     use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(fused)),
+            np.asarray(pt.coefficients(ref)), rtol=1e-4, atol=1e-5,
+        )
+
     def test_mixed_mesh_shapes(self, data):
         X, Y = data
         mesh = make_pls_mesh(rows=4, folds=2)

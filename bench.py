@@ -52,16 +52,27 @@ def supervise() -> int:
     import signal
     import subprocess
 
-    budget = float(os.environ.get("PLS_BENCH_BUDGET_SEC", "540"))
+    budget = float(os.environ.get("PLS_BENCH_BUDGET_SEC", "900"))
     start = time.monotonic()
-    # Attempt 1 gets the biggest window: the dominant failure mode is a
-    # one-off first-execution stall in a fresh process (observed 120-190 s,
-    # occasionally longer), and the measurement itself takes ~15 s once
-    # past it.  Retries start with a warm compilation cache.
+    # The dominant failure mode is a first-execution stall in a fresh
+    # process — NOT compile time (it hits cache-warm programs too):
+    # observed 2-40+ min on this relay, independent of the program.  Give
+    # two generous TPU windows (retries at least reuse the compilation
+    # cache for anything that did finish), then fall back to CPU.  The
+    # CPU attempt gets its OWN cache dir: the shared cache can hold CPU
+    # executables AOT-compiled by the relay host for a different
+    # microarchitecture, which load with feature-mismatch warnings and
+    # run an order of magnitude slow (observed 50 ms/component vs 2.5).
     attempts = [
-        ({}, budget * 0.5),
-        ({}, budget * 0.3),
-        ({"JAX_PLATFORMS": "cpu"}, budget * 0.2),  # last resort: CPU
+        ({}, budget * 0.45),
+        ({}, budget * 0.30),
+        (
+            {
+                "JAX_PLATFORMS": "cpu",
+                "PLS_TPU_CACHE_DIR": "/tmp/pls_tpu_xla_cpu_fallback",
+            },
+            budget * 0.25,
+        ),
     ]
     for extra_env, tmo in attempts:
         # honor the TOTAL budget: cap each attempt to the unspent remainder

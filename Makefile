@@ -4,10 +4,13 @@
 # but for a Python/JAX project: build native bits, test, bench, regenerate
 # golden parity fixtures.
 
-.PHONY: native test test-fast bench golden clean
+.PHONY: native predictor test test-fast bench golden clean
 
 native:
 	python setup.py build_ext --inplace
+
+predictor:
+	g++ -std=c++17 -O2 -o pls_predict native/pls_predict_main.cpp
 
 test:
 	python -m pytest tests/ -x -q
@@ -22,4 +25,4 @@ golden:
 	tools/gen_golden.sh
 
 clean:
-	rm -rf build pls_tpu/_native*.so pls_tpu/__pycache__ */__pycache__
+	rm -rf build pls_predict pls_tpu/_native*.so pls_tpu/__pycache__ */__pycache__

@@ -25,43 +25,17 @@ pytestmark = pytest.mark.skipif(
     shutil.which("g++") is None, reason="no C++ toolchain"
 )
 
-CONSUMER = r"""
-#include "pls_predict.hpp"
-#include <cstdio>
-#include <fstream>
-#include <sstream>
-#include <string>
-#include <vector>
-
-// argv: model.plsb X.csv  -> prints "yhat... | t2 spe ok" per row
-int main(int argc, char **argv) {
-    if (argc != 3) return 2;
-    auto m = pls::Model::load(argv[1]);
-    std::ifstream f(argv[2]);
-    std::string line;
-    while (std::getline(f, line)) {
-        std::vector<double> x;
-        std::stringstream ss(line);
-        std::string cell;
-        while (std::getline(ss, cell, ',')) x.push_back(std::stod(cell));
-        auto y = m.predict(x);
-        auto c = m.check(x);
-        for (double v : y) std::printf("%.12e ", v);
-        std::printf("| %.12e %.12e %d\n", c.t2, c.spe, c.ok ? 1 : 0);
-    }
-    return 0;
-}
-"""
-
 
 @pytest.fixture(scope="module")
 def consumer_bin(tmp_path_factory):
+    """Compile the SHIPPED native predictor CLI (native/pls_predict_main.cpp,
+    `make predictor`) — the consumer the reference's ctest harness intended
+    but whose code never compiled (SURVEY.md §4)."""
     d = tmp_path_factory.mktemp("consumer")
-    src = d / "consumer.cpp"
-    src.write_text(CONSUMER)
-    exe = d / "consumer"
+    exe = d / "pls_predict"
     subprocess.run(
-        ["g++", "-std=c++17", "-O2", f"-I{REPO}/native", str(src), "-o", str(exe)],
+        ["g++", "-std=c++17", "-O2", f"-I{REPO}/native",
+         f"{REPO}/native/pls_predict_main.cpp", "-o", str(exe)],
         check=True,
         capture_output=True,
         text=True,

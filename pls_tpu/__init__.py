@@ -172,6 +172,11 @@ from pls_tpu.models.opls import (
     correct as opls_correct,
     predict as opls_predict,
 )
+from pls_tpu.models.oplsda import (
+    OPLSDAClassifier,
+    fit_oplsda,
+    s_plot,
+)
 from pls_tpu.models.plsglm import PLSGLMFit, fit_plsglm, predict_plsglm
 from pls_tpu.models.plscox import (
     PLSCoxFit,
@@ -364,6 +369,9 @@ __all__ = [
     "fit_opls",
     "opls_correct",
     "opls_predict",
+    "OPLSDAClassifier",
+    "fit_oplsda",
+    "s_plot",
     "MBPLSFit",
     "block_importance",
     "block_scores",

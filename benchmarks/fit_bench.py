@@ -53,11 +53,11 @@ def main() -> int:
     Y = jax.random.normal(ky, (N, M), jnp.float32)
     jax.block_until_ready((X, Y))
 
-    def time_fit(A, use_pallas, reps=3):
+    def time_fit(A, use_pallas, reps=3, x_storage=None):
         def run():
             t0 = time.perf_counter()
             f = fit(X, Y, A, use_pallas=use_pallas, precision=None,
-                    power_iters=16 if M > 1 else None)
+                    power_iters=16 if M > 1 else None, x_storage=x_storage)
             float(f.R[0, 0])  # force completion
             return time.perf_counter() - t0
         run()  # compile + first
@@ -67,15 +67,21 @@ def main() -> int:
     for use_pallas, label in [
         (None, "auto_default"),  # the no-flag production path (VERDICT #2)
         ("unroll", "pallas_unroll"), (True, "pallas_scan"), (False, "xla"),
+        ("unroll+bf16", "pallas_unroll_bf16"),  # x_storage speed mode
     ]:
+        x_storage = None
+        if use_pallas == "unroll+bf16":
+            use_pallas, x_storage = "unroll", "bf16"
+            if backend == "cpu":
+                continue
         if use_pallas and backend == "cpu":
             continue
         if use_pallas is True and not os.environ.get("FIT_BENCH_SCAN"):
             # pallas-in-scan takes ~20 min to compile on remote-compile
             # relays (docs/PERF.md); opt in via FIT_BENCH_SCAN=1
             continue
-        t_s = time_fit(args.a_short, use_pallas)
-        t_l = time_fit(args.a_long, use_pallas)
+        t_s = time_fit(args.a_short, use_pallas, x_storage=x_storage)
+        t_l = time_fit(args.a_long, use_pallas, x_storage=x_storage)
         per = max((t_l - t_s) / (args.a_long - args.a_short), 1e-9)
         log(f"fit[{label}]: {per*1e3:.3f} ms/component "
             f"({gb/per:.0f} GB/s one-pass equivalent)")

@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
         "path (docs/PERF.md)",
     )
     p.add_argument(
+        "--x-storage", choices=["native", "bf16"], default="native",
+        help="'bf16' streams X in bfloat16 with f32 accumulation (half "
+        "the fit's HBM traffic, ~1e-3 component error; "
+        "models/kernel_pls.fit)",
+    )
+    p.add_argument(
         "--preprocess", default=None, metavar="CHAIN",
         help="spectral preprocessing for X before z-scoring, e.g. "
         "'savgol:11:2:1,snv' (tokens: snv, msc, detrend[:order], "
@@ -139,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
         json_out=args.json,
         complex_format=(args.fmt == "eigen-complex"),
         use_pallas=args.use_pallas,
+        x_storage=None if args.x_storage == "native" else args.x_storage,
         preprocess=args.preprocess,
     )
 

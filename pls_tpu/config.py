@@ -31,6 +31,7 @@ class PLSRunConfig:
     json_out: str | None = None
     complex_format: bool = False  # Eigen '(re,0)' tuples for byte diffing
     use_pallas: str = "auto"  # "auto" | "off" | "scan" | "unroll" (docs/PERF.md)
+    x_storage: str | None = None  # "bf16" = stream X narrow, f32 accumulation
     preprocess: str | None = None  # spectral chain for X, e.g. "savgol:11:2:1,snv"
     extra: dict = field(default_factory=dict)
 
@@ -69,6 +70,7 @@ def run_pipeline(cfg: PLSRunConfig, *, file=None) -> dict:
         X, Y, cfg.method, cfg.num_components,
         use_pallas={"auto": None, "off": False, "scan": True,
                     "unroll": "unroll"}[cfg.use_pallas],
+        x_storage=cfg.x_storage,
     )
     model.print_state(file=file, complex_format=cfg.complex_format)
     model.print_explained_variance(X, Y, file=file)

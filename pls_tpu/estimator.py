@@ -134,6 +134,9 @@ class PLSRegressor(_EstimatorBase):
     method : pls_tpu METHOD (kernel 1/2, NIPALS, SIMPLS).
     scale : z-score X and y internally (reference CLI convention).
     power_iters / precision : forwarded to the fitter.
+    x_storage : None (X's dtype) or "bf16" — stream X in bfloat16 with
+        f32 accumulation, halving fit HBM traffic (~1e-3 component
+        error; see models/kernel_pls.fit).
 
     After fit, `coef_` (n_targets, n_features) and `intercept_` follow
     sklearn's raw-unit convention: ``y = (X - X.mean(0)) @ coef_.T +
@@ -141,7 +144,10 @@ class PLSRegressor(_EstimatorBase):
     tests/test_estimator.py).
     """
 
-    _params = ("n_components", "method", "scale", "power_iters", "precision")
+    _params = (
+        "n_components", "method", "scale", "power_iters", "precision",
+        "x_storage",
+    )
 
     def __init__(
         self,
@@ -150,12 +156,14 @@ class PLSRegressor(_EstimatorBase):
         scale: bool = True,
         power_iters: int | None = None,
         precision: str | None = "highest",
+        x_storage: str | None = None,
     ):
         self.n_components = n_components
         self.method = method
         self.scale = scale
         self.power_iters = power_iters
         self.precision = precision
+        self.x_storage = x_storage
 
     def fit(self, X, y, sample_weight=None) -> "PLSRegressor":
         """Fit; optional `sample_weight` (N,) weights rows in the
@@ -166,6 +174,7 @@ class PLSRegressor(_EstimatorBase):
         self._fit = _fit(
             Xz, yz, self.n_components, self.method, sample_weight=sw,
             power_iters=self.power_iters, precision=self.precision,
+            x_storage=self.x_storage,
         )
         self._set_coef(coefficients(self._fit))
         return self

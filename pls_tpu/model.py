@@ -49,6 +49,7 @@ class PLSModel:
         power_iters: int | None = None,
         precision: str | None = "highest",
         use_pallas: bool | str | None = None,
+        x_storage: str | None = None,
         _fit_state: PLSFit | None = None,
     ):
         X = jnp.asarray(X, dtype=dtype)
@@ -75,7 +76,7 @@ class PLSModel:
             _fit(
                 X, Y, A, method,
                 power_iters=power_iters, precision=precision,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, x_storage=x_storage,
             )
             if _fit_state is None
             else _fit_state

@@ -88,6 +88,7 @@ def fit(
     power_iters: int | None = None,
     precision: str | None = "highest",
     use_pallas: bool | None = None,
+    x_storage: str | None = None,
 ) -> PLSFit:
     """Fit a PLS model of up to `A` components.
 
@@ -106,6 +107,16 @@ def fit(
          bootstrap, cv/bootstrap.py, relies on this).
       power_iters: if set, use fixed-iteration power method instead of eigh
          for the M>1 dominant-eigenvector step.
+      x_storage: "bf16" stores X in bfloat16 for the streaming
+         contractions (XᵀY, and the per-component t = Xr / p = Xᵀt
+         passes), HALVING the fit's HBM traffic; every contraction
+         accumulates in f32 (`preferred_element_type` on the XLA path,
+         the bf16 Pallas kernel's f32 accumulator on the fused path) and
+         all model state (W/P/Q/R/T, XY) stays f32 — the TPU-idiomatic
+         "narrow activations, wide accumulation" policy.  Expected
+         component error ~1e-3 relative (bf16 has 8 mantissa bits;
+         measured error bounds in docs/PERF.md).  None (default): X's
+         own dtype end-to-end.
       precision: jax matmul precision context ("highest" for f32 parity /
          CPU; None to use the session default, e.g. bf16-on-MXU for speed).
       use_pallas: KERNEL_TYPE1 only — run the per-component (t, tt, p)
@@ -139,6 +150,16 @@ def fit(
         w = jnp.sqrt(jnp.asarray(sample_weight, X.dtype))[:, None]
         X = X * w
         Y = Y * w
+    if x_storage is not None:
+        if x_storage not in ("bf16", "bfloat16"):
+            raise ValueError(f"unknown x_storage {x_storage!r} (use 'bf16')")
+        if method not in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
+            raise ValueError(
+                "x_storage='bf16' requires a kernel method (type 1/2); "
+                f"{method} does not implement the f32-accumulation policy"
+            )
+        # cast AFTER masking/weighting so those multiplies stay exact
+        X = X.astype(jnp.bfloat16)
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
         if use_pallas is None or use_pallas == "auto":
@@ -210,10 +231,22 @@ def _fit_kernel(
     N, K = X.shape
     M = Y.shape[1]
     dtype = X.dtype
+    # bf16 X storage: X streams narrow, every contraction accumulates f32
+    # and all model state is f32 (see fit() x_storage docs)
+    acc = jnp.float32 if dtype.itemsize < 4 else dtype
 
     with _prec_ctx(precision):
-        XY0 = X.T @ Y
-        XX = None if type1 else X.T @ X
+        if acc != dtype:
+            XY0 = jax.lax.dot_general(
+                X, Y.astype(dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            XX = None if type1 else jax.lax.dot_general(
+                X, X, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            )
+        else:
+            XY0 = X.T @ Y
+            XX = None if type1 else X.T @ X
         Xp = X
         if type1 and use_pallas:
             # pad once to the kernel's row tile so the per-component
@@ -239,6 +272,10 @@ def _fit_kernel(
                     from pls_tpu.ops.deflate import deflate_pass
 
                     t, tt, p = deflate_pass(Xp, r, use_pallas=True)
+                elif acc != dtype:
+                    from pls_tpu.ops.deflate import deflate_pass_xla
+
+                    t, tt, p = deflate_pass_xla(X, r)
                 else:
                     t = X @ r
                     tt = t @ t
@@ -247,7 +284,7 @@ def _fit_kernel(
                 v = XX @ r
                 tt = r @ v
                 p = v
-                t = jnp.zeros((0,), dtype)
+                t = jnp.zeros((0,), acc)
             p = p / tt
             q = (XY.T @ r) / tt
             XY = XY - jnp.outer(p, q) * tt
@@ -257,7 +294,7 @@ def _fit_kernel(
 
         # derive the zero buffers from the data so their device-varying
         # status matches the carry updates under shard_map manual axes
-        zbuf = jnp.zeros((A, K), dtype) + XY0[0, 0] * 0
+        zbuf = jnp.zeros((A, K), acc) + XY0[0, 0] * 0
         if unroll:
             carry = (XY0, zbuf, zbuf)
             outs = []
@@ -277,7 +314,7 @@ def _fit_kernel(
         Q=Qs.T,
         R=Rb.T,
         # slice off any pallas row-padding (zero rows' scores)
-        T=Ts.T[:N] if type1 else jnp.zeros((0, A), dtype),
+        T=Ts.T[:N] if type1 else jnp.zeros((0, A), acc),
         method=METHOD.KERNEL_TYPE1 if type1 else METHOD.KERNEL_TYPE2,
     )
 

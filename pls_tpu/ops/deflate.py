@@ -196,7 +196,23 @@ def pad_rows_to_tile(X: jnp.ndarray) -> jnp.ndarray:
 
 def deflate_pass_xla(X: jnp.ndarray, r: jnp.ndarray):
     """Reference two-matmul formulation (two X passes) — the fallback and
-    the baseline the kernel is benchmarked against."""
+    the baseline the kernel is benchmarked against.
+
+    When X is stored in a sub-f32 dtype (bf16 speed mode), the matvecs
+    keep X's narrow dtype on the HBM-read side and accumulate in f32
+    (`preferred_element_type`), mirroring the Pallas bf16 kernel's
+    contract — t/tt/p are always f32."""
+    if X.dtype.itemsize < 4:
+        acc = jnp.float32
+        t = jax.lax.dot_general(
+            X, r.astype(X.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=acc,
+        )
+        p = jax.lax.dot_general(
+            X, t.astype(X.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=acc,
+        )
+        return t, t @ t, p
     t = X @ r
     return t, t @ t, X.T @ t
 

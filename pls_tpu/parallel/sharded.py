@@ -48,8 +48,13 @@ def fit_sharded(
     mesh: Mesh,
     precision: str | None = "highest",
     power_iters: int | None = None,
+    x_storage: str | None = None,
 ) -> PLSFit:
-    """Row-sharded fit via GSPMD; outputs fully replicated."""
+    """Row-sharded fit via GSPMD; outputs fully replicated.
+
+    x_storage="bf16" applies the narrow-X/f32-accumulation policy
+    (models/kernel_pls.fit) per shard — each device streams its local
+    rows in bf16; the psum'd partials and all model state stay f32."""
     row_sh = NamedSharding(mesh, P("rows", None))
     rep = NamedSharding(mesh, P())
     Xs = jax.device_put(jnp.asarray(X), row_sh)
@@ -57,11 +62,12 @@ def fit_sharded(
 
     @partial(jax.jit, out_shardings=rep)
     def _fit(Xs, Ys):
-        f = fit(Xs, Ys, A, method, precision=precision, power_iters=power_iters)
+        f = fit(Xs, Ys, A, method, precision=precision,
+                power_iters=power_iters, x_storage=x_storage)
         # T is row-aligned; drop it from the replicated outputs for type1 to
         # avoid an all-gather of an N-sized matrix (recompute as X·R if needed)
         return PLSFit(W=f.W, P=f.P, Q=f.Q, R=f.R,
-                      T=jnp.zeros((0, A), Xs.dtype), method=f.method)
+                      T=jnp.zeros((0, A), f.W.dtype), method=f.method)
 
     return _fit(Xs, Ys)
 
@@ -76,6 +82,7 @@ def fit_colsharded(
     axis: str = "rows",
     precision: str | None = "highest",
     power_iters: int | None = None,
+    x_storage: str | None = None,
 ) -> PLSFit:
     """COLUMN-sharded fit via GSPMD — the huge-K scaling axis (north star:
     K = 10k+ spectral channels / SNP panels).
@@ -98,7 +105,7 @@ def fit_colsharded(
     @partial(jax.jit, out_shardings=rep)
     def _fit(Xs, Ys):
         return fit(Xs, Ys, A, method, precision=precision,
-                   power_iters=power_iters)
+                   power_iters=power_iters, x_storage=x_storage)
 
     return _fit(Xs, Ys)
 

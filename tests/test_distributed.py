@@ -47,6 +47,21 @@ class TestShardedFit:
             atol=1e-10,
         )
 
+    def test_gspmd_rowsharded_bf16_storage(self, data):
+        """x_storage="bf16" composes with row sharding: each shard streams
+        bf16, partials psum in f32; agrees with the f32 fit to the bf16
+        data-representation floor (tests/test_bf16.py contract)."""
+        X, Y = data
+        X32 = jnp.asarray(np.asarray(X), jnp.float32)
+        Y32 = jnp.asarray(np.asarray(Y), jnp.float32)
+        mesh = make_pls_mesh(rows=8, folds=1)
+        ref = pt.fit(X32, Y32, 4)
+        sh = fit_sharded(X32, Y32, 4, mesh=mesh, x_storage="bf16")
+        assert sh.W.dtype == jnp.float32
+        B_ref = np.asarray(pt.coefficients(ref))
+        B_sh = np.asarray(pt.coefficients(sh))
+        assert np.abs(B_sh - B_ref).max() / np.abs(B_ref).max() < 2e-2
+
     @pytest.mark.parametrize("type1", [True, False])
     def test_shardmap_psum_equals_single(self, data, type1):
         X, Y = data

@@ -99,7 +99,15 @@ from pls_tpu.models.npls import (
 )
 from pls_tpu.models.recursive import RecursivePLS
 from pls_tpu.models.robust import fit_robust
-from pls_tpu.tune import grid_search_cv, kfold_split, tune_spls_keepx, tune_kpls
+from pls_tpu.tune import (
+    grid_search_cv,
+    kfold_split,
+    nested_cv_components,
+    nested_grid_search_cv,
+    NestedCVResult,
+    tune_spls_keepx,
+    tune_kpls,
+)
 from pls_tpu.select import (
     ipls,
     ipls_forward,
@@ -357,6 +365,9 @@ __all__ = [
     "register_checkpointable",
     "grid_search_cv",
     "kfold_split",
+    "nested_cv_components",
+    "nested_grid_search_cv",
+    "NestedCVResult",
     "tune_spls_keepx",
     "tune_kpls",
     "fit_spls",

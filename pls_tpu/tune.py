@@ -91,6 +91,165 @@ def grid_search_cv(
     return best, results
 
 
+@dataclass
+class NestedCVResult:
+    """Nested (double) CV outcome.
+
+    chosen     : (k_outer,) inner-loop selection per outer fold
+    fold_rmsep : (k_outer, M) outer-test RMSEP at each fold's chosen value
+    rmsep      : (M,) pooled outer RMSEP (over all held-out rows) — the
+                 honest generalization estimate
+    """
+
+    chosen: np.ndarray
+    fold_rmsep: np.ndarray
+    rmsep: np.ndarray
+
+
+def nested_cv_components(
+    X,
+    Y,
+    A_max: int,
+    *,
+    k_outer: int = 5,
+    k_inner: int = 7,
+    method=None,
+    select: str = "wilcoxon",
+    alpha: float = 0.1,
+    key: jax.Array | int | None = 0,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> NestedCVResult:
+    """Nested (double) CV for the number of PLS components.
+
+    The single-loop selector (`cv/validation.optimal_num_components`,
+    mirroring the reference /root/reference/src/pls.cpp:263-289) reuses
+    the same folds for selection and error estimation, which biases the
+    reported error optimistically.  Nested CV removes that bias: for
+    each of `k_outer` outer folds, an inner `k_inner`-fold CV on the
+    outer-TRAIN rows picks A*, then a fresh A*-component fit on the
+    outer-train rows is scored on the outer-TEST rows — data never seen
+    by the selection.  The pooled outer RMSEP is the honest estimate.
+
+    TPU shape: each inner CV is ONE vmapped masked-fit program (all
+    A_max truncations from a single fit per fold — the kernel-PLS
+    nesting property), so the total work is k_outer compiled programs,
+    not k_outer × k_inner × A_max.
+
+    select: "wilcoxon" — per-y-var parsimony rule at `alpha`, taking the
+    max over y-vars (one shared model must serve all responses);
+    "min" — fewest components minimizing PRESS summed over y-vars.
+
+    X/Y are used as given (pre-scaled by the caller, the reference CLI
+    convention — /root/reference/src/main.cpp:24-25; fold-internal
+    rescaling is intentionally NOT performed, matching how the
+    reference's own CV methods consume already-scaled data).
+    """
+    import jax.numpy as jnp
+
+    from pls_tpu.cv.kfold import cv_kfold
+    from pls_tpu.cv.validation import optimal_num_components, validation
+    from pls_tpu.models.kernel_pls import fit
+    from pls_tpu.models.predict import residuals
+    from pls_tpu.types import METHOD, RESS
+
+    method = METHOD.KERNEL_TYPE1 if method is None else method
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N, M = X.shape[0], Y.shape[1]
+    if select not in ("wilcoxon", "min"):
+        raise ValueError(f"unknown select {select!r} ('wilcoxon' | 'min')")
+
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    k_out, k_in = jax.random.split(key)
+    splits = kfold_split(N, k_outer, k_out)
+    inner_keys = jax.random.split(k_in, k_outer)
+
+    chosen = np.zeros(k_outer, dtype=int)
+    fold_rmsep = np.zeros((k_outer, M))
+    sq_sum = np.zeros(M)
+    n_test_total = 0
+    for o, (train, test) in enumerate(splits):
+        Xtr, Ytr = jnp.asarray(X[train]), jnp.asarray(Y[train])
+        inner = cv_kfold(
+            Xtr, Ytr, A_max, k_inner, method,
+            key=inner_keys[o], power_iters=power_iters, precision=precision,
+        )
+        if select == "wilcoxon":
+            a_star = int(np.max(np.asarray(optimal_num_components(inner, alpha))))
+        else:
+            press = np.asarray(validation(inner, RESS)).sum(axis=0)  # (A,)
+            a_star = int(np.argmin(press)) + 1
+        f = fit(
+            Xtr, Ytr, a_star, method,
+            power_iters=power_iters, precision=precision,
+        )
+        err = np.asarray(residuals(f, jnp.asarray(X[test]), jnp.asarray(Y[test])))
+        chosen[o] = a_star
+        fold_rmsep[o] = np.sqrt(np.mean(err**2, axis=0))
+        sq_sum += np.sum(err**2, axis=0)
+        n_test_total += len(test)
+
+    return NestedCVResult(
+        chosen=chosen,
+        fold_rmsep=fold_rmsep,
+        rmsep=np.sqrt(sq_sum / n_test_total),
+    )
+
+
+def nested_grid_search_cv(
+    make_estimator,
+    param_grid: dict,
+    X,
+    Y,
+    *,
+    k_outer: int = 5,
+    k_inner: int = 5,
+    key: jax.Array | int | None = 0,
+) -> NestedCVResult:
+    """Generic nested CV over an estimator parameter grid: per outer
+    fold, `grid_search_cv` on the outer-train rows picks the parameters,
+    a fresh fit is scored on the outer-test rows.  `chosen` holds the
+    per-fold winning parameter dicts (object array)."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    k_out, k_in = jax.random.split(key)
+    splits = kfold_split(X.shape[0], k_outer, k_out)
+    inner_keys = jax.random.split(k_in, k_outer)
+
+    chosen = np.empty(k_outer, dtype=object)
+    M = Y.shape[1]
+    fold_rmsep = np.zeros((k_outer, M))
+    sq_sum = np.zeros(M)
+    n_test_total = 0
+    for o, (train, test) in enumerate(splits):
+        best, _ = grid_search_cv(
+            make_estimator, param_grid, X[train], Y[train],
+            n_folds=k_inner, key=inner_keys[o],
+        )
+        est = make_estimator().set_params(**best.params)
+        est.fit(X[train], Y[train])
+        pred = np.asarray(est.predict(X[test])).reshape(Y[test].shape)
+        err = pred - Y[test]
+        chosen[o] = best.params
+        fold_rmsep[o] = np.sqrt(np.mean(err**2, axis=0))
+        sq_sum += np.sum(err**2, axis=0)
+        n_test_total += len(test)
+
+    return NestedCVResult(
+        chosen=chosen,
+        fold_rmsep=fold_rmsep,
+        rmsep=np.sqrt(sq_sum / n_test_total),
+    )
+
+
 def tune_spls_keepx(
     X, Y, A: int, keep_grid, *, n_folds: int = 5, key: jax.Array | None = None
 ):

@@ -58,3 +58,68 @@ class TestGridSearch:
         )
         # keep 1 underfits; keep 30 adds noise variables; 3 is the truth
         assert best.params["keep_x"] == 3
+
+
+class TestNestedCV:
+    """Nested (double) CV: selection on inner folds, honest error on
+    outer-test rows the selection never saw."""
+
+    def _data(self, seed=5, n=72, k=12):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, k))
+        # rank-2 signal with mild noise: inner loop should choose >= 2
+        Y = np.c_[2 * X[:, 0] - X[:, 1], X[:, 1] + X[:, 2]]
+        Y = Y + 0.1 * rng.normal(size=Y.shape)
+        return X, Y
+
+    def test_components_wilcoxon(self):
+        from pls_tpu.tune import nested_cv_components
+
+        X, Y = self._data()
+        res = nested_cv_components(
+            X, Y, A_max=6, k_outer=4, k_inner=5, key=7
+        )
+        assert res.chosen.shape == (4,)
+        assert np.all((res.chosen >= 2) & (res.chosen <= 6))
+        assert res.fold_rmsep.shape == (4, 2)
+        assert res.rmsep.shape == (2,)
+        # signal-to-noise ~20: honest RMSEP must still be far below the
+        # response scale (~2) and above the noise floor (0.1)
+        assert np.all(res.rmsep < 0.5)
+        assert np.all(res.rmsep > 0.05)
+
+    def test_components_min_matches_shapes_and_selects_sane(self):
+        from pls_tpu.tune import nested_cv_components
+
+        X, Y = self._data(seed=6)
+        res = nested_cv_components(
+            X, Y, A_max=6, k_outer=3, k_inner=4, select="min", key=8
+        )
+        assert np.all((res.chosen >= 2) & (res.chosen <= 6))
+        with pytest.raises(ValueError, match="select"):
+            nested_cv_components(X, Y, A_max=3, select="best")
+
+    def test_generic_nested_grid(self):
+        from pls_tpu.tune import nested_grid_search_cv
+
+        X, Y = self._data(seed=9)
+        y = Y[:, 0]
+        res = nested_grid_search_cv(
+            PLSRegressor, {"n_components": [1, 2, 4]},
+            X, y, k_outer=3, k_inner=3, key=10,
+        )
+        assert res.chosen.shape == (3,)
+        assert all(c["n_components"] >= 2 for c in res.chosen)
+        assert res.rmsep.shape == (1,)
+        assert res.rmsep[0] < 0.5
+
+    def test_pooled_rmsep_is_pooled_not_mean_of_folds(self):
+        """rmsep pools squared errors over all outer-test rows; with
+        equal fold sizes it equals the RMS of fold RMSEPs (not the mean),
+        pinning the aggregation rule."""
+        from pls_tpu.tune import nested_cv_components
+
+        X, Y = self._data(seed=11, n=60)
+        res = nested_cv_components(X, Y, A_max=4, k_outer=3, k_inner=4, key=12)
+        rms_of_folds = np.sqrt(np.mean(res.fold_rmsep**2, axis=0))
+        np.testing.assert_allclose(res.rmsep, rms_of_folds, rtol=1e-10)

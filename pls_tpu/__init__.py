@@ -99,6 +99,12 @@ from pls_tpu.models.npls import (
 )
 from pls_tpu.models.recursive import RecursivePLS
 from pls_tpu.models.robust import fit_robust
+from pls_tpu.sampling import (
+    kennard_stone,
+    spxy,
+    duplex,
+    ks_train_test_split,
+)
 from pls_tpu.tune import (
     grid_search_cv,
     kfold_split,
@@ -363,6 +369,10 @@ __all__ = [
     "load_fit_orbax",
     "load_fit",
     "register_checkpointable",
+    "kennard_stone",
+    "spxy",
+    "duplex",
+    "ks_train_test_split",
     "grid_search_cv",
     "kfold_split",
     "nested_cv_components",

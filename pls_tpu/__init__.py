@@ -139,6 +139,9 @@ from pls_tpu.transfer import (
     direct_standardization,
     piecewise_ds,
     apply_transfer,
+    EPOModel,
+    epo,
+    epo_difference_matrix,
 )
 from pls_tpu.spectral import (
     snv,
@@ -297,6 +300,9 @@ __all__ = [
     "direct_standardization",
     "piecewise_ds",
     "apply_transfer",
+    "EPOModel",
+    "epo",
+    "epo_difference_matrix",
     "target_projection",
     "selectivity_ratio",
     "PLSGLMFit",

@@ -40,6 +40,9 @@ __all__ = [
     "direct_standardization",
     "piecewise_ds",
     "apply_transfer",
+    "EPOModel",
+    "epo",
+    "epo_difference_matrix",
 ]
 
 
@@ -157,3 +160,89 @@ def piecewise_ds(
     vals = (B * jnp.asarray(valid, B.dtype)).reshape(-1)
     F = F.at[rows, cols].add(vals)
     return TransferModel(F=F, offset=mu_s, intercept=mu_m)
+
+
+# ---------------------------------------------------------------------------
+# EPO — External Parameter Orthogonalization (Roger, Chauchard &
+# Bellon-Maurel 2003, Chemom. Intell. Lab. Syst. 66:191-204): make a
+# calibration robust to an external factor (temperature, moisture,
+# probe…) by projecting spectra onto the orthogonal complement of the
+# factor's spectral subspace, estimated from DIFFERENCE spectra of the
+# same samples measured under varying conditions.
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EPOModel:
+    """EPO filter state.
+
+    V        : (K, g) orthonormal basis of the external-effect subspace
+               (top right singular vectors of the difference matrix)
+    sv_ratio : (g,) fraction of the difference matrix's total squared
+               singular value captured per component (diagnostic for
+               choosing g)
+
+    Applying the filter is  X ← X − (X V) Vᵀ  — the projector
+    P = I − V Vᵀ is never materialized (two skinny matmuls instead of a
+    K×K product; same streaming shape as the fit's hot loop)."""
+
+    V: jax.Array
+    sv_ratio: jax.Array
+
+    @property
+    def n_components(self) -> int:
+        return self.V.shape[1]
+
+    def __call__(self, X) -> jnp.ndarray:
+        X = jnp.atleast_2d(jnp.asarray(X))
+        return X - (X @ self.V) @ self.V.T
+
+
+def epo_difference_matrix(*condition_matrices) -> jnp.ndarray:
+    """Difference spectra for EPO from ≥2 matrices of the SAME samples
+    (rows aligned) under different external conditions: each matrix
+    minus the per-sample mean across conditions, stacked.  The row space
+    of the result spans the external effect (sample chemistry cancels in
+    the differences)."""
+    mats = [jnp.atleast_2d(jnp.asarray(m)) for m in condition_matrices]
+    if len(mats) < 2:
+        raise ValueError("need >= 2 condition matrices")
+    shape = mats[0].shape
+    for m in mats[1:]:
+        if m.shape != shape:
+            raise ValueError(
+                "condition matrices must be row-aligned with equal shapes"
+            )
+    mean = sum(mats) / len(mats)
+    return jnp.concatenate([m - mean for m in mats], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_components",))
+def _epo_fit(D, n_components: int):
+    # top right singular vectors of D via eigh of the K×K Gram matrix —
+    # symmetric PSD, so real/orthonormal by construction (same rationale
+    # as ops/eigen.py), and cheaper than SVD of (n_d, K) when n_d > K
+    G = D.T @ D
+    evals, evecs = jnp.linalg.eigh(G)  # ascending
+    V = evecs[:, ::-1][:, :n_components]
+    sv = evals[::-1][:n_components]
+    return V, sv / jnp.maximum(jnp.sum(evals), 1e-30)
+
+
+def epo(D, n_components: int) -> EPOModel:
+    """Fit the EPO filter from difference spectra D (n_d, K) — build D
+    with `epo_difference_matrix`, or pass any matrix whose rows span the
+    unwanted variation.  `n_components` (g) external components are
+    removed; choose g where `sv_ratio` flattens (typically 1-3).
+
+    Workflow:  e = epo(D, g);  fit PLS on e(X_train);  predict on
+    e(X_new) — new-condition spectra land on the robust subspace."""
+    D = jnp.atleast_2d(jnp.asarray(D))
+    K = D.shape[1]
+    if not (1 <= n_components <= min(D.shape)):
+        raise ValueError(
+            f"need 1 <= n_components <= min(n_d, K)="
+            f"{min(D.shape)}, got {n_components}"
+        )
+    V, ratio = _epo_fit(D, int(n_components))
+    return EPOModel(V=V, sv_ratio=ratio)

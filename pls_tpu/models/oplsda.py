@@ -173,7 +173,14 @@ class OPLSDAClassifier:
             self.method, power_iters=self.power_iters,
             precision=self.precision,
         )
-        self._Xz_train = Xz
+        # S-plot statistics are two streaming matmuls over the filtered
+        # training matrix — compute them NOW (2·(K,) vectors) instead of
+        # pinning the full (N, K) training matrix for the classifier's
+        # lifetime (at this framework's target scales that matrix can be
+        # tens of GB)
+        Xf, _ = correct(self._fit, Xz)
+        t = Xf @ self._fit.pls.R[:, 0]
+        self._s_plot = tuple(np.asarray(v) for v in s_plot(Xf, t))
         return self
 
     @property
@@ -221,8 +228,6 @@ class OPLSDAClassifier:
         orthogonality-FILTERED training matrix (z-scored units when
         scale=True) — the matrix the predictive component actually
         models, so confounder variance on overlap variables does not
-        dilute p(corr)."""
-        Xf, _ = correct(self._fit, self._Xz_train)
-        t = Xf @ self._fit.pls.R[:, 0]
-        cov, corr = s_plot(Xf, t)
-        return np.asarray(cov), np.asarray(corr)
+        dilute p(corr).  Precomputed at fit() time (two K-vectors) so
+        the training matrix is not retained."""
+        return self._s_plot

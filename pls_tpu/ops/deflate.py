@@ -58,11 +58,17 @@ _TILE_BUDGET = 8 * 1024 * 1024
 
 def _row_tile(K: int, dtype_bytes: int = 4) -> int:
     """Largest multiple-of-8 row tile whose (TN, K) block fits the VMEM
-    tile budget.  tn=1024 at K=2048/f32 measured fastest on v5e
-    (tools/kernel_variants.py sweep: 512→677, 1024→690, 2048→676 GB/s)."""
+    tile budget — the SINGLE tile-policy source shared by the kernel,
+    `pad_rows_to_tile`, and `pallas_supported`.  Sub-f32 dtypes round to
+    the 16-row sublane multiple.  tn=1024 at K=2048/f32 measured fastest
+    on v5e (tools/kernel_variants.py sweep: 512→677, 1024→690,
+    2048→676 GB/s)."""
     tn = _TILE_BUDGET // (K * dtype_bytes)
     tn = (tn // 8) * 8
-    return max(8, min(1024, tn))
+    tn = max(8, min(1024, tn))
+    if dtype_bytes < 4:
+        tn = max(16, (tn // 16) * 16)
+    return tn
 
 
 def _kernel_f32(x_ref, r_ref, t_ref, p_ref, p_acc):
@@ -120,11 +126,14 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
     float32."""
     N, K = X.shape
     dtype = X.dtype
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(
+            f"pallas deflation kernel supports float32/bfloat16 X, got "
+            f"{dtype} — use deflate_pass (auto-falls back to XLA)"
+        )
     acc = jnp.float32
     f32 = dtype == jnp.float32
     tn = _row_tile(K, dtype.itemsize)
-    if dtype.itemsize < 4:
-        tn = max(16, (tn // 16) * 16)  # bf16 sublane tiling multiple
     pad = (-N) % tn
     if pad:
         X = jnp.concatenate([X, jnp.zeros((pad, K), dtype)])
@@ -186,8 +195,6 @@ def pad_rows_to_tile(X: jnp.ndarray) -> jnp.ndarray:
     matrix).  Returns X unchanged when already aligned."""
     N, K = X.shape
     tn = _row_tile(K, X.dtype.itemsize)
-    if X.dtype.itemsize < 4:
-        tn = max(16, (tn // 16) * 16)
     pad = (-N) % tn
     if not pad:
         return X
@@ -218,9 +225,14 @@ def deflate_pass_xla(X: jnp.ndarray, r: jnp.ndarray):
 
 
 def pallas_supported(K: int, itemsize: int = 4) -> bool:
-    """True when a (16, K) minimum row tile fits the VMEM tile budget on
-    a non-CPU backend."""
-    if not _HAS_PALLAS or jax.default_backend() in ("cpu",):
+    """True when the fused TPU kernel can run: Pallas importable, the
+    default backend is actually TPU (the kernel is Mosaic/TPU-lowered —
+    a GPU backend imports pallas fine but cannot compile it), the dtype
+    is one the kernel implements (f32/bf16, by itemsize), and a (16, K)
+    minimum row tile fits the VMEM tile budget."""
+    if not _HAS_PALLAS or jax.default_backend() != "tpu":
+        return False
+    if itemsize not in (2, 4):
         return False
     return K * itemsize * 16 <= _TILE_BUDGET
 
@@ -237,6 +249,13 @@ def deflate_pass(
     N, K = X.shape
     if use_pallas is None:
         use_pallas = pallas_supported(K, X.dtype.itemsize)
+    if use_pallas and not interpret and X.dtype not in (
+        jnp.float32, jnp.bfloat16
+    ):
+        # explicit use_pallas with a dtype the kernel doesn't implement
+        # (e.g. f64 under jax_enable_x64): exact XLA path instead of a
+        # silent precision downgrade through the bf16 branch
+        use_pallas = False
     if not use_pallas:
         return deflate_pass_xla(X, r)
     return _deflate_pass_pallas(X, r, interpret=interpret)

@@ -62,6 +62,21 @@ def initialize_distributed(
     """
     import time
 
+    # authoritative idempotence check (jax>=0.4.34 exposes it); the
+    # message sniff below is only a fallback for a concurrent-init race
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return
+
+    def _is_reinit(e: Exception) -> bool:
+        msg = str(e).lower()
+        # jax 0.9: "distributed.initialize should only be called once.";
+        # older: "...called more than once" / "already initialized"
+        return (
+            "only be called once" in msg
+            or "more than once" in msg
+            or "already initialized" in msg
+        )
+
     last: Exception | None = None
     for attempt in range(retries + 1):
         try:
@@ -72,7 +87,7 @@ def initialize_distributed(
             )
             return
         except RuntimeError as e:
-            if "already initialized" in str(e).lower():
+            if _is_reinit(e):
                 return
             last = e
             if attempt < retries:

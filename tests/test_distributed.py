@@ -374,14 +374,35 @@ class TestInitializeDistributedRetry:
     after exhausting retries (VERDICT r02 weak #7: the old wrapper
     swallowed every RuntimeError, silently degrading to single-process)."""
 
-    def test_already_initialized_is_noop(self, monkeypatch):
+    def test_already_initialized_is_noop_via_flag(self, monkeypatch):
+        """The authoritative path: jax.distributed.is_initialized() True
+        means initialize() is never even called."""
+        import jax
+
+        from pls_tpu.parallel.mesh import initialize_distributed
+
+        def boom(**kw):  # pragma: no cover - must not be reached
+            raise AssertionError("initialize() should not be called")
+
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        initialize_distributed("127.0.0.1:1", 1, 0)  # no raise
+
+    def test_reinit_race_message_is_noop(self, monkeypatch):
+        """Fallback path: the EXACT RuntimeError jax 0.9 raises on a
+        second initialize (jax/_src/distributed.py) is treated as a
+        no-op — guards the concurrent-init race where is_initialized
+        flips between our check and the call."""
         import jax
 
         from pls_tpu.parallel.mesh import initialize_distributed
 
         def boom(**kw):
-            raise RuntimeError("jax.distributed is already initialized")
+            raise RuntimeError(
+                "distributed.initialize should only be called once."
+            )
 
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
         monkeypatch.setattr(jax.distributed, "initialize", boom)
         initialize_distributed("127.0.0.1:1", 1, 0)  # no raise
 

@@ -163,3 +163,39 @@ def test_fit_pallas_path_interpret_with_padding(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(f_pal.T), np.asarray(f_xla.T), rtol=1e-4, atol=1e-5
     )
+
+
+def test_unsupported_dtype_falls_back_to_xla():
+    """f64 X (jax_enable_x64) must never enter the bf16 kernel branch:
+    explicit use_pallas=True falls back to the exact XLA path, and
+    pallas_supported rejects itemsize 8 (code-review r03 findings)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pls_tpu.ops.deflate import (
+        _deflate_pass_pallas,
+        deflate_pass,
+        pallas_supported,
+    )
+
+    assert pallas_supported(2048, itemsize=8) is False
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.normal(size=(64, 32)))  # f64 under x64 conftest
+    r = jnp.asarray(rng.normal(size=(32,)))
+    assert X.dtype == jnp.float64
+    t, tt, p = deflate_pass(X, r, use_pallas=True)  # no crash, exact path
+    np.testing.assert_allclose(np.asarray(t), np.asarray(X @ r), atol=1e-12)
+    with pytest.raises(ValueError, match="float32/bfloat16"):
+        _deflate_pass_pallas(X, r, interpret=True)
+
+
+def test_pallas_supported_requires_tpu_backend():
+    """A non-TPU accelerator (e.g. CUDA) imports pallas fine but cannot
+    lower the Mosaic kernel — the gate must check the backend name, not
+    just 'not cpu'."""
+    import jax
+
+    from pls_tpu.ops import deflate
+
+    assert jax.default_backend() == "cpu"  # conftest forces CPU
+    assert deflate.pallas_supported(2048, 4) is False

@@ -96,6 +96,23 @@ class TestSPXY:
         with pytest.raises(ValueError, match="rows"):
             spxy(X, y[:-1], 5)
 
+    def test_constant_y_degrades_to_kennard_stone(self):
+        """A degenerate Y block (max pairwise distance 0) is zeroed out
+        rather than divided by ~0: SPXY must equal plain KS on X."""
+        rng = np.random.default_rng(8)
+        X = rng.normal(size=(60, 5))
+        y = np.full(60, 5.0)
+        np.testing.assert_array_equal(spxy(X, y, 12), kennard_stone(X, 12))
+
+    def test_far_from_origin_is_stable(self):
+        """Centering guards the ‖z‖²-expansion against catastrophic
+        cancellation when coordinates sit far from the origin."""
+        rng = np.random.default_rng(9)
+        X = rng.normal(size=(80, 4))
+        np.testing.assert_array_equal(
+            kennard_stone(X + 1e6, 10), kennard_stone(X, 10)
+        )
+
     def test_y_changes_selection(self):
         """A response-aligned Y must pull the selection toward extreme-y
         samples relative to plain KS."""

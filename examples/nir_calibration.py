@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """End-to-end example: gasoline NIR calibration (the reference's own
-flagship dataset) — fit, validate, select components, bootstrap CIs.
+flagship dataset) — coverage-based sample split, fit, validate, honest
+nested-CV component selection, bootstrap CIs.
 
 Run: python examples/nir_calibration.py
 """
@@ -56,6 +57,23 @@ def main():
     print(
         f"\nbootstrap 95% CI width over {len(width)} wavelengths: "
         f"median {np.median(width):.4f}, max {width.max():.4f}"
+    )
+
+    # --- coverage-based calibration/validation split (Kennard–Stone) ---
+    cal, val = pt.ks_train_test_split(np.asarray(X), train_size=45)
+    f_cal = pt.fit(X[jnp.asarray(cal)], Y[jnp.asarray(cal)], opt)
+    pred = pt.fitted_values(f_cal, X[jnp.asarray(val)])
+    rm = float(jnp.sqrt(jnp.mean((pred - Y[jnp.asarray(val)]) ** 2)))
+    print(f"\nKennard–Stone 45/15 split, RMSEP on held-out: {rm:.4f}")
+
+    # --- honest generalization estimate: nested (double) CV ---
+    res = pt.nested_cv_components(
+        np.asarray(X), np.asarray(Y), A_max=10, k_outer=5, k_inner=6
+    )
+    print(
+        f"nested CV: chosen components per outer fold {res.chosen.tolist()}, "
+        f"pooled RMSEP {float(res.rmsep[0]):.4f} "
+        "(selection never saw its test rows)"
     )
 
 

@@ -29,6 +29,12 @@ lane↔sublane relayout every grid step.  Measured on v5e: 690 GB/s
 one-pass at (65536, 2048) f32 with the chip's same-day XLA full-reduce
 ceiling at 693 GB/s, rel err vs f64 ≈ 2e-7.
 
+bf16 X streaming (r03 KV_BF16 sweep) uses the SAME VPU/(1, K)
+formulation with an in-register upcast — 1263 GB/s f32-equivalent
+one-pass (631 GB/s physical) at rel err 4.3e-4, beating the earlier
+MXU-matvec/(K, 1) bf16 variant (1098 GB/s, 2.4e-3 — it had to round t
+back to bf16 between the two contractions).
+
 Constraints / fallback: the full K extent of a row tile must fit VMEM
 (K ≤ ~128k at f32 for a 16-row minimum tile); `deflate_pass`
 transparently falls back to the two-matmul XLA path when unsupported.
@@ -67,7 +73,10 @@ def _row_tile(K: int, dtype_bytes: int = 4) -> int:
     tn = (tn // 8) * 8
     tn = max(8, min(1024, tn))
     if dtype_bytes < 4:
-        tn = max(16, (tn // 16) * 16)
+        # bf16 sublane multiple; tn=512 measured fastest for the bf16
+        # stream (KV_BF16 sweep: 512→1263, 1024→1189, 2048→1240 GB/s
+        # f32-equivalent)
+        tn = max(16, (min(tn, 512) // 16) * 16)
     return tn
 
 
@@ -91,28 +100,25 @@ def _kernel_f32(x_ref, r_ref, t_ref, p_ref, p_acc):
 
 
 def _kernel_bf16(x_ref, r_ref, t_ref, p_ref, p_acc):
-    """bf16-input formulation: a single bf16×bf16→f32 MXU pass is exact
-    in the inputs, so DEFAULT-precision matvecs are both fast and as
-    accurate as the data allows."""
+    """bf16-X formulation: upcast the tile to f32 in-register and run
+    the same (1, K) lane-major VPU multiply+reduce as the f32 kernel —
+    only the HBM read is narrow.  Beats the earlier MXU-matvec/(K, 1)
+    variant on BOTH axes (KV_BF16 sweep, tools/kernel_variants.py,
+    v5e @ 65536×2048): 1263 vs 1098 GB/s f32-equivalent one-pass, and
+    rel err 4.3e-4 vs 2.4e-3 — the MXU path had to round t back to
+    bf16 for the second contraction, the VPU keeps t/r f32 throughout
+    so the only error is X's own bf16 rounding."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         p_acc[:, :] = jnp.zeros_like(p_acc)
 
-    x = x_ref[:, :]
-    r = r_ref[:, :]  # (K, 1)
-    t = jax.lax.dot_general(
-        x, r, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32,
-    )  # (TN, 1)
+    x = x_ref[:, :].astype(jnp.float32)
+    r = r_ref[:, :]  # (1, K) f32
+    t = jnp.sum(x * r, axis=1, keepdims=True)  # (TN, 1)
     t_ref[:, :] = t
-    p_acc[:, :] += jax.lax.dot_general(
-        x, t.astype(x.dtype), (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32,
-    )  # (K, 1)
+    p_acc[:, :] += jnp.sum(x * t, axis=0, keepdims=True)  # (1, K)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _flush():
@@ -140,7 +146,9 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
     n_pad = N + pad
     grid = n_pad // tn
 
-    p_shape = (1, K) if f32 else (K, 1)
+    # both kernels share the lane-major (1, K) layout for r and the p
+    # accumulator, and r/t/p stay f32 regardless of X's dtype
+    p_shape = (1, K)
     compiler_params = None
     if not interpret:
         # double-buffered X tiles exceed the default 16 MB scoped-VMEM
@@ -173,8 +181,8 @@ def _deflate_pass_pallas(X: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
             bytes_accessed=n_pad * K * dtype.itemsize,
             transcendentals=0,
         ),
-    )(X, r[None, :].astype(dtype) if f32 else r[:, None].astype(dtype))
-    p = p[0] if f32 else p[:, 0]
+    )(X, r[None, :].astype(acc))
+    p = p[0]
     # tt = tᵀt = rᵀ(Xᵀ X r) = r·p, one K-length dot — computed exactly
     # (HIGHEST) instead of accumulating a scalar in SMEM per grid step
     tt = jax.lax.dot_general(

@@ -205,11 +205,87 @@ def main() -> int:
 
         return run
 
+    def make_vpu_bf16(tn, vmem_mb=100):
+        """bf16 X stream, VPU formulation: upcast the tile to f32
+        in-register, (1, K) lane-major r/p like the shipped f32 kernel —
+        probing whether the bf16 path's MXU matvec + (K,1) relayout is
+        what holds it at 637 GB/s physical vs the f32 kernel's 738.
+        X must arrive as a bf16 ARGUMENT (a closed-over operand bakes
+        256 MB of constants into the HLO → remote-compile HTTP 413)."""
+
+        def kern(x_ref, r_ref, t_ref, p_ref, p_acc):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                p_acc[:, :] = jnp.zeros_like(p_acc)
+
+            x = x_ref[:, :].astype(jnp.float32)
+            r = r_ref[:, :]  # (1, K) f32
+            t = jnp.sum(x * r, axis=1, keepdims=True)
+            t_ref[:, :] = t
+            p_acc[:, :] += jnp.sum(x * t, axis=0, keepdims=True)
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _():
+                p_ref[:, :] = p_acc[:, :]
+
+        @jax.jit
+        def run(Xb, r):
+            pad = (-N) % tn
+            Xp = (
+                jnp.concatenate([Xb, jnp.zeros((pad, K), Xb.dtype)])
+                if pad
+                else Xb
+            )
+            n_pad = N + pad
+            t, p = pl.pallas_call(
+                kern,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_mb * 2**20
+                ),
+                grid=(n_pad // tn,),
+                in_specs=[
+                    pl.BlockSpec((tn, K), lambda i: (i, 0)),
+                    pl.BlockSpec((1, K), lambda i: (0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((tn, 1), lambda i: (i, 0)),
+                    pl.BlockSpec((1, K), lambda i: (0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((1, K), jnp.float32),
+                ],
+                scratch_shapes=[pltpu.VMEM((1, K), jnp.float32)],
+                cost_estimate=pl.CostEstimate(
+                    flops=4 * n_pad * K, bytes_accessed=n_pad * K * 2,
+                    transcendentals=0,
+                ),
+            )(Xp, r[None, :])
+            tt = jax.lax.dot_general(
+                r, p[0], (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return t[:N, 0], tt, p[0]
+
+        return run
+
     from pls_tpu.ops.deflate import _deflate_pass_pallas
 
     variants = {"vpu_1k_t512": make_vpu_1k(512, tt_inside=False)}
     for tn in (512, 768, 1024, 1536, 2048):
         variants[f"vpu_1k_t{tn}_v100"] = make_vpu_1k(tn, False, vmem_mb=100)
+    if os.environ.get("KV_BF16"):
+        # rebind the operand the chains pass: all bf16 variants take the
+        # bf16 X as a traced ARGUMENT (never a closure constant)
+        X = X.astype(jnp.bfloat16)
+        jax.block_until_ready(X)
+        variants = {
+            "shipped_bf16_mxu": lambda X_, r_: _deflate_pass_pallas(X_, r_)
+        }
+        for tn in (512, 1024, 2048):
+            variants[f"vpu_bf16_t{tn}"] = make_vpu_bf16(tn)
 
     @jax.jit
     def advance(p):

@@ -86,3 +86,28 @@ def test_unscaled_mode(raw_nir):
     est = PLSRegressor(n_components=3, scale=False).fit(X, y)
     # without internal scaling the estimator works in raw space directly
     assert est.predict(X).shape == (60, 1)
+
+
+def test_sklearn_gridsearchcv_interop():
+    """PLSRegressor must survive sklearn's clone/get_params/set_params
+    machinery inside GridSearchCV — pins the estimator protocol against
+    the ecosystem's actual consumer, not just our own tune.py."""
+    pytest.importorskip("sklearn")
+    import numpy as np
+    from sklearn.model_selection import GridSearchCV
+
+    from pls_tpu.estimator import PLSRegressor
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(60, 10))
+    y = 2 * X[:, 0] - X[:, 1] + 0.05 * rng.normal(size=60)
+    gs = GridSearchCV(
+        PLSRegressor(),
+        {"n_components": [1, 2, 4]},
+        cv=3,
+        scoring="neg_mean_squared_error",
+    )
+    gs.fit(X, y)
+    assert gs.best_params_["n_components"] >= 2
+    pred = gs.predict(X[:5])
+    assert pred.shape[0] == 5

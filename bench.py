@@ -56,22 +56,27 @@ def supervise() -> int:
     start = time.monotonic()
     # The dominant failure mode is a first-execution stall in a fresh
     # process — NOT compile time (it hits cache-warm programs too):
-    # observed 2-40+ min on this relay, independent of the program.  Give
-    # two generous TPU windows (retries at least reuse the compilation
-    # cache for anything that did finish), then fall back to CPU.  The
-    # CPU attempt gets its OWN cache dir: the shared cache can hold CPU
-    # executables AOT-compiled by the relay host for a different
-    # microarchitecture, which load with feature-mismatch warnings and
-    # run an order of magnitude slow (observed 50 ms/component vs 2.5).
+    # observed 2-40+ min on this relay, independent of the program, and
+    # whether a given process stalls is a PER-PROCESS roll (r03: a run
+    # succeeded in 90 s immediately after two back-to-back stalled
+    # windows totalling 11 min).  So prefer THREE medium TPU windows
+    # (more rolls) over two long ones — a warm-cache measurement
+    # completes in ~90-150 s, well inside each window — then fall back
+    # to CPU.  The CPU attempt gets its OWN cache dir: the shared cache
+    # can hold CPU executables AOT-compiled by the relay host for a
+    # different microarchitecture, which load with feature-mismatch
+    # warnings and run an order of magnitude slow (observed 50
+    # ms/component vs 2.5).
     attempts = [
-        ({}, budget * 0.45),
         ({}, budget * 0.30),
+        ({}, budget * 0.25),
+        ({}, budget * 0.25),
         (
             {
                 "JAX_PLATFORMS": "cpu",
                 "PLS_TPU_CACHE_DIR": "/tmp/pls_tpu_xla_cpu_fallback",
             },
-            budget * 0.25,
+            budget * 0.20,
         ),
     ]
     for extra_env, tmo in attempts:

@@ -244,7 +244,7 @@ from pls_tpu.models.diagnostics import (
     x_residuals,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "METHOD",

@@ -113,7 +113,10 @@ def fit(
          accumulates in f32 (`preferred_element_type` on the XLA path,
          the bf16 Pallas kernel's f32 accumulator on the fused path) and
          all model state (W/P/Q/R/T, XY) stays f32 — the TPU-idiomatic
-         "narrow activations, wide accumulation" policy.  Expected
+         "narrow activations, wide accumulation" policy.  Note that the
+         one XᵀY pass also rounds Y to bf16 (dot_general requires
+         matching operand dtypes), so XY₀ embeds Y's bf16 rounding as
+         well as X's — within the same ~1e-3 budget.  Expected
          component error ~1e-3 relative (bf16 has 8 mantissa bits;
          measured error bounds in docs/PERF.md).  None (default): X's
          own dtype end-to-end.

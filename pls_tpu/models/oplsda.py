@@ -146,8 +146,12 @@ class OPLSDAClassifier:
         }
 
     def set_params(self, **params) -> "OPLSDAClassifier":
+        valid = self.get_params()
         for k, v in params.items():
-            if not hasattr(self, k):
+            # validate against the declared parameter set, not hasattr —
+            # hasattr accepts method names, so set_params(fit=...) would
+            # silently clobber a bound method
+            if k not in valid:
                 raise ValueError(f"unknown parameter {k}")
             setattr(self, k, v)
         return self

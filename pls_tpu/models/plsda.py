@@ -108,8 +108,10 @@ class PLSDAClassifier:
         }
 
     def set_params(self, **params) -> "PLSDAClassifier":
+        valid = self.get_params()
         for k, v in params.items():
-            if not hasattr(self, k):
+            # declared-parameter check (hasattr would accept method names)
+            if k not in valid:
                 raise ValueError(f"unknown parameter {k}")
             setattr(self, k, v)
         return self

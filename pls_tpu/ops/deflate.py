@@ -216,7 +216,18 @@ def deflate_pass_xla(X: jnp.ndarray, r: jnp.ndarray):
     When X is stored in a sub-f32 dtype (bf16 speed mode), the matvecs
     keep X's narrow dtype on the HBM-read side and accumulate in f32
     (`preferred_element_type`), mirroring the Pallas bf16 kernel's
-    contract — t/tt/p are always f32."""
+    contract — t/tt/p are always f32.
+
+    Precision asymmetry vs. the Pallas bf16 kernel: `lax.dot_general`
+    requires matching operand dtypes, so the f32-accumulated t must be
+    rounded back to bf16 for the second contraction p = Xᵀt — exactly
+    the rounding the KV_BF16 hardware sweep identified as the dominant
+    error source in the rejected MXU kernel (2.4e-3 vs 4.3e-4 component
+    rel err).  The Pallas kernel keeps t f32 in-register, so the XLA
+    fallback (CPU, vmapped CV refits, sharded per-shard bf16) carries
+    ~5× higher per-component error than the fused TPU path.  Both are
+    within the documented ~1e-3 x_storage budget (tests/test_bf16.py);
+    the cast is the bandwidth-correct choice, not an oversight."""
     if X.dtype.itemsize < 4:
         acc = jnp.float32
         t = jax.lax.dot_general(

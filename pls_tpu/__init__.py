@@ -80,10 +80,15 @@ from pls_tpu.cv.conformal import (
     jackknife_plus_intervals,
     split_conformal_intervals,
 )
-from pls_tpu.cv.loo import cv_loo
-from pls_tpu.cv.lso import cv_lso
+from pls_tpu.cv.loo import cv_loo, cv_loo_downdate, cv_loo_from_stats
+from pls_tpu.cv.lso import cv_lso, cv_lso_downdate
 from pls_tpu.cv.newdata import cv_new_data
-from pls_tpu.cv.kfold import cv_kfold, cv_group
+from pls_tpu.cv.kfold import (
+    cv_kfold,
+    cv_kfold_downdate,
+    cv_kfold_from_stats,
+    cv_group,
+)
 from pls_tpu.model import PLSModel
 from pls_tpu.models.streaming import (
     StatsAccumulator,
@@ -288,9 +293,14 @@ __all__ = [
     "jackknife_plus_intervals",
     "split_conformal_intervals",
     "cv_loo",
+    "cv_loo_downdate",
+    "cv_loo_from_stats",
     "cv_lso",
+    "cv_lso_downdate",
     "cv_new_data",
     "cv_kfold",
+    "cv_kfold_downdate",
+    "cv_kfold_from_stats",
     "cv_group",
     "PLSModel",
     "read_matrix_file",

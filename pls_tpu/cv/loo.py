@@ -40,10 +40,13 @@ def make_loo_fold_fn(
     *,
     power_iters: int | None = None,
     precision: str | None = "highest",
+    x_storage: str | None = None,
 ):
     """Fold body shared by every LOO flavor (local, sharded, resumable):
     given a row index, fit with that row masked out and return its
-    residuals under every component truncation, shape (A, M)."""
+    residuals under every component truncation, shape (A, M).
+    x_storage="bf16" applies the narrow-X/f32-accumulation policy to
+    every fold's refit (fit() docs)."""
     N = X.shape[0]
 
     def fold(i):
@@ -51,6 +54,7 @@ def make_loo_fold_fn(
         f = fit(
             X, Y, A, method,
             row_mask=mask, power_iters=power_iters, precision=precision,
+            x_storage=x_storage,
         )
         return residuals_all_components(f, X[i][None, :], Y[i][None, :])[0]
 
@@ -66,6 +70,7 @@ def cv_loo(
     batch_size: int | None = None,
     power_iters: int | None = None,
     precision: str | None = "highest",
+    x_storage: str | None = None,
 ) -> Residual:
     """LOO CV by vmapped masked refits. Returns Residual with errors (M, N, A)."""
     X = jnp.asarray(X)
@@ -77,7 +82,8 @@ def cv_loo(
         batch_size = min(N, 64)
 
     fold = make_loo_fold_fn(
-        X, Y, A, method, power_iters=power_iters, precision=precision
+        X, Y, A, method, power_iters=power_iters, precision=precision,
+        x_storage=x_storage,
     )
     errs = padded_map(fold, jnp.arange(N), batch_size)  # (N, A, M)
     return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="LOO")
@@ -92,6 +98,7 @@ def cv_loo_downdate(
     batch_size: int | None = None,
     power_iters: int | None = None,
     precision: str | None = "highest",
+    x_storage: str | None = None,
 ) -> Residual:
     """LOO CV via exact rank-1 downdates of XᵀX / XᵀY (KERNEL_TYPE2 only).
 
@@ -103,6 +110,11 @@ def cv_loo_downdate(
     10k-wide design tractable (docs/PARALLELISM.md).
 
     Exactness vs. brute-force refits is validated in tests/test_cv.py.
+
+    x_storage="bf16": the one X-sized operation — the global XᵀX/XᵀY
+    pass — streams X in bfloat16 with f32 accumulation; the per-fold
+    rank-1 vectors are O(K) and stay f32 (narrowing them saves no
+    bandwidth and costs precision).
     """
     X = jnp.asarray(X)
     Y = jnp.asarray(Y)
@@ -115,8 +127,23 @@ def cv_loo_downdate(
     if batch_size is None:
         batch_size = min(int(fold_indices.shape[0]), 64)
 
-    XX = X.T @ X
-    XY = X.T @ Y
+    if x_storage is not None:
+        if x_storage not in ("bf16", "bfloat16"):
+            raise ValueError(f"unknown x_storage {x_storage!r} (use 'bf16')")
+        acc = X.dtype if X.dtype.itemsize >= 4 else jnp.float32
+        Xn = X.astype(jnp.bfloat16)
+        XX = jax.lax.dot_general(
+            Xn, Xn, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        XY = jax.lax.dot_general(
+            Xn, Y.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=acc,
+        )
+        X = X.astype(acc)
+        Y = Y.astype(acc)
+    else:
+        XX = X.T @ X
+        XY = X.T @ Y
 
     def fold(i):
         x = X[i]

@@ -391,6 +391,70 @@ def fit_from_stats(
 
 
 @partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
+def fit_from_stats_blockdowndated(
+    XX: jnp.ndarray,
+    XY: jnp.ndarray,
+    Xf: jnp.ndarray,
+    Yf: jnp.ndarray,
+    A: int,
+    *,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> PLSFit:
+    """Fold fit from global statistics with an IMPLICIT rank-Nf BLOCK
+    downdate: behaves exactly like
+    ``fit_from_stats(XX − XfᵀXf, XY − XfᵀYf, A)`` but never materializes
+    the K×K downdated matrix — the matvec is
+    (XX − XfᵀXf) r = XX r − Xfᵀ (Xf r).
+
+    This is the k-fold / LSO generalization of the rank-1 LOO downdate
+    (`fit_from_stats_downdated`): per fold O(K²·A) for the XX matvecs
+    plus O(Nf·K·A) for the two fold-block matvecs, vs O(N·K²) per fold
+    for a masked refit — at the 1M×10k north-star shape with k=10 that
+    is ~100× less work per fold, and Xf (the held-out block) is the only
+    X-sized object a fold ever touches.  Zero rows in Xf are exact
+    padding (they contribute nothing to either downdate), so equal-size
+    zero-padded fold blocks vmap (cv/kfold.cv_kfold_downdate).
+
+    Xf may be stored bfloat16 (x_storage speed mode): both fold-block
+    contractions then accumulate in f32 via `preferred_element_type`,
+    matching the fit()/StatsAccumulator narrow-X policy.
+
+    Reference analogue: the k-fold refits of Model::cv_LSO
+    (/root/reference/src/pls.cpp:512-549), reformulated statistics-side.
+    """
+    acc = XX.dtype
+    if Yf.ndim == 1:
+        Yf = Yf[:, None]
+    if Xf.dtype.itemsize < 4 and acc.itemsize >= 4:
+        XYf = XY - jax.lax.dot_general(
+            Xf, Yf.astype(Xf.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=acc,
+        )
+
+        def matvec(r):
+            tr = jax.lax.dot_general(
+                Xf, r.astype(Xf.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            down = jax.lax.dot_general(
+                Xf, tr.astype(Xf.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            return XX @ r - down
+
+    else:
+        XYf = XY - Xf.T @ Yf
+
+        def matvec(r):
+            return XX @ r - Xf.T @ (Xf @ r)
+
+    return _kernel2_scan(
+        matvec, XYf, A, XX.shape[0], acc, power_iters, precision
+    )
+
+
+@partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
 def fit_from_stats_downdated(
     XX: jnp.ndarray,
     XY: jnp.ndarray,

@@ -42,6 +42,22 @@ def _update(XX, XY, n, Xc, Yc):
 
 
 @jax.jit
+def _update_narrow(XX, XY, n, Xc, Yc):
+    """Narrow-chunk update (x_storage="bf16"): the chunk streams through
+    the MXU in bfloat16 — half the HBM bytes AND the 2× bf16 MXU rate —
+    while the XᵀX/XᵀY accumulators stay f32 (`preferred_element_type`).
+    The f32 += is exact per chunk; only the chunk representation rounds."""
+    acc = XX.dtype
+    XX = XX + jax.lax.dot_general(
+        Xc, Xc, (((0,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    XY = XY + jax.lax.dot_general(
+        Xc, Yc, (((0,), (0,)), ((), ())), preferred_element_type=acc
+    )
+    return XX, XY, n + Xc.shape[0]
+
+
+@jax.jit
 def _update_compensated(XX, XXe, XY, XYe, n, Xc, Yc):
     from pls_tpu.ops.twofloat import dd_add_f
 
@@ -59,12 +75,20 @@ class StatsAccumulator:
     reference's MPFR escape hatch (/root/reference/include/PLS/pls.h:11-28)
     for the one place large-N precision is actually lost: the reduction
     over rows.  The resulting XX/XY are correctly rounded regardless of
-    how many chunks streamed past (error independent of N)."""
+    how many chunks streamed past (error independent of N).
+
+    x_storage="bf16" streams each chunk through the MXU in bfloat16
+    (half the HBM bytes and 2× the MXU rate) while the XX/XY accumulators
+    stay in `dtype` — the same narrow-X/f32-accumulation policy as
+    fit(x_storage=...).  Chunks already stored bf16 pass through without
+    an upcast.  Mutually exclusive with compensated (a bf16-rounded chunk
+    has already lost more than compensation recovers)."""
 
     K: int
     M: int
     dtype: object = jnp.float32
     compensated: bool = False
+    x_storage: str | None = None
     XX: jax.Array = field(init=False)
     XY: jax.Array = field(init=False)
     XXe: jax.Array = field(init=False)
@@ -72,6 +96,15 @@ class StatsAccumulator:
     n: int = field(init=False, default=0)
 
     def __post_init__(self):
+        if self.x_storage is not None:
+            if self.x_storage not in ("bf16", "bfloat16"):
+                raise ValueError(
+                    f"unknown x_storage {self.x_storage!r} (use 'bf16')"
+                )
+            if self.compensated:
+                raise ValueError(
+                    "x_storage='bf16' and compensated are mutually exclusive"
+                )
         self.XX = jnp.zeros((self.K, self.K), self.dtype)
         self.XY = jnp.zeros((self.K, self.M), self.dtype)
         # error accumulators only materialize in compensated mode (a K×K
@@ -82,6 +115,15 @@ class StatsAccumulator:
         self.n = jnp.zeros((), jnp.int64 if jnp.array(0).dtype == jnp.int64 else jnp.int32)
 
     def update(self, X_chunk, Y_chunk) -> "StatsAccumulator":
+        if self.x_storage is not None:
+            X_chunk = jnp.asarray(X_chunk, jnp.bfloat16)
+            Y_chunk = jnp.asarray(Y_chunk, jnp.bfloat16)
+            if Y_chunk.ndim == 1:
+                Y_chunk = Y_chunk[:, None]
+            self.XX, self.XY, self.n = _update_narrow(
+                self.XX, self.XY, self.n, X_chunk, Y_chunk
+            )
+            return self
         X_chunk = jnp.asarray(X_chunk, self.dtype)
         Y_chunk = jnp.asarray(Y_chunk, self.dtype)
         if Y_chunk.ndim == 1:
@@ -203,15 +245,17 @@ def fit_streaming_csv(
 
 def fit_streaming(
     chunks, K: int, M: int, A: int, *,
-    zscore: bool = False, moments=None, dtype=jnp.float32, **kw
+    zscore: bool = False, moments=None, dtype=jnp.float32,
+    x_storage: str | None = None, **kw
 ) -> PLSFit:
     """One-call streaming fit over an iterable of (X_chunk, Y_chunk).
 
     zscore=True requires `moments` from collect_moments (pass 1); chunks
     are standardized exactly as the reference CLI does before the
-    statistics are accumulated (pass 2).
+    statistics are accumulated (pass 2).  x_storage="bf16" streams each
+    chunk narrow with f32 accumulation (StatsAccumulator docs).
     """
-    acc = StatsAccumulator(K, M, dtype)
+    acc = StatsAccumulator(K, M, dtype, x_storage=x_storage)
     if zscore:
         if moments is None:
             raise ValueError("zscore=True requires moments=collect_moments(...)")

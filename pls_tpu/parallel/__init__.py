@@ -16,6 +16,7 @@ from pls_tpu.parallel.sharded import (
     cv_loo_sharded,
     fit_rowsharded_shardmap,
     cv_lso_sharded,
+    cv_lso_rowsharded,
     train_step,
 )
 
@@ -26,6 +27,7 @@ __all__ = [
     "fit_colsharded",
     "fit_rowsharded_shardmap",
     "cv_lso_sharded",
+    "cv_lso_rowsharded",
     "cv_loo_sharded",
     "train_step",
 ]

@@ -264,6 +264,82 @@ def cv_lso_sharded(
     )
 
 
+def cv_lso_rowsharded(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    A: int,
+    partitions: jnp.ndarray,
+    train_size: int,
+    method: METHOD = METHOD.KERNEL_TYPE1,
+    *,
+    mesh: Mesh,
+    axis: str = "rows",
+    trial_batch: int = 1,
+    precision: str | None = "highest",
+    x_storage: str | None = None,
+) -> Residual:
+    """Monte-Carlo CV with X ROW-SHARDED over the mesh — the huge-X
+    LSO path (closes the r03 gap: cv_lso_sharded replicates X per
+    device, impossible at the 40 GB north-star design).
+
+    X/Y carry NamedSharding(P(axis, None)) and never exist replicated;
+    trials run sequentially (in `trial_batch`-sized groups via lax.map)
+    inside ONE jitted GSPMD program: each trial applies its {0,1} train
+    mask to the sharded rows, refits (psums inserted by the SPMD
+    partitioner exactly as in fit_sharded), and gathers only the
+    (test_size, K) held-out block for residuals — the only cross-shard
+    X movement.  Memory per device: the X shard plus `trial_batch`
+    masked shard copies in flight.
+
+    For KERNEL_TYPE2 workloads, the block-downdate formulation is
+    cheaper still: build XX/XY once with fit_sharded's statistics pass
+    and run cv/lso.cv_lso_downdate on them — per trial O(K²·A)
+    replicated compute, no per-trial pass over X at all.
+
+    Same partition layout and error tensor ((M, trials·test, A),
+    replicate-major) as cv_lso; exact agreement with the local cv_lso is
+    pinned by tests/test_distributed.py.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N = X.shape[0]
+    num_trials = partitions.shape[0]
+    test_size = N - train_size
+
+    row_sh = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    Xs = jax.device_put(X, row_sh)
+    Ys = jax.device_put(Y, row_sh)
+    parts = jax.device_put(jnp.asarray(partitions), rep)
+
+    from pls_tpu.utils.batching import padded_map
+
+    @partial(jax.jit, out_shardings=rep)
+    def _cv(Xs, Ys, parts):
+        def trial(perm):
+            mask = jnp.zeros((N,), jnp.float32).at[perm[:train_size]].set(1)
+            f = fit(
+                Xs, Ys, A, method, row_mask=mask,
+                precision=precision, x_storage=x_storage,
+            )
+            return residuals_all_components(
+                f, Xs[perm[train_size:]], Ys[perm[train_size:]]
+            )  # (test, A, M)
+
+        return padded_map(trial, parts, trial_batch)
+
+    errs = _cv(Xs, Ys, parts)  # (trials, test, A, M)
+    M = Y.shape[1]
+    return Residual(
+        errors=jnp.transpose(errs, (3, 0, 1, 2)).reshape(
+            M, num_trials * test_size, A
+        ),
+        method="LSO",
+    )
+
+
 def cv_loo_sharded(
     X: jnp.ndarray,
     Y: jnp.ndarray,

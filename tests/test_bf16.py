@@ -122,3 +122,126 @@ class TestBF16Storage:
             np.asarray(t16), np.asarray(t32), rtol=0, atol=5e-2 * float(jnp.abs(t32).max())
         )
         np.testing.assert_allclose(float(tt16), float(tt32), rtol=2e-2)
+
+
+class TestBF16CVStack:
+    """x_storage="bf16" plumbed through the CV stack (r03 verdict #3):
+    every CV flavor accepts bf16 X streaming, errors stay within the
+    bf16-representation budget of the f32 run, and the accumulator
+    accepts narrow chunks with f32 accumulation."""
+
+    def test_cv_loo_close_to_f32(self):
+        X, Y = _data(n=48, k=12, m=1, a=3)
+        e32 = np.asarray(pt.cv_loo(X, Y, 3).errors)
+        e16 = np.asarray(pt.cv_loo(X, Y, 3, x_storage="bf16").errors)
+        # held-out residuals are O(0.1-1); bf16 X shifts them by ~1e-2
+        assert np.abs(e16 - e32).max() < 5e-2, np.abs(e16 - e32).max()
+
+    def test_cv_kfold_close_to_f32(self):
+        X, Y = _data(n=60, k=12, m=2, a=3)
+        e32 = np.asarray(pt.cv_kfold(X, Y, 3, k=5, key=2).errors)
+        e16 = np.asarray(
+            pt.cv_kfold(X, Y, 3, k=5, key=2, x_storage="bf16").errors
+        )
+        assert np.abs(e16 - e32).max() < 5e-2
+
+    def test_cv_lso_close_to_f32(self):
+        X, Y = _data(n=40, k=10, m=1, a=3)
+        import jax
+
+        parts = pt.cv.lso.random_partitions(jax.random.key(0), 40, 8)
+        e32 = np.asarray(pt.cv_lso(X, Y, 3, 0.25, 8, partitions=parts).errors)
+        e16 = np.asarray(
+            pt.cv_lso(X, Y, 3, 0.25, 8, partitions=parts, x_storage="bf16").errors
+        )
+        assert np.abs(e16 - e32).max() < 5e-2
+
+    def test_cv_loo_downdate_bf16_stats(self):
+        X, Y = _data(n=48, k=12, m=1, a=3)
+        e32 = np.asarray(pt.cv_loo_downdate(X, Y, 3).errors)
+        e16 = np.asarray(pt.cv_loo_downdate(X, Y, 3, x_storage="bf16").errors)
+        assert np.abs(e16 - e32).max() < 5e-2
+
+    def test_cv_kfold_downdate_bf16(self):
+        X, Y = _data(n=60, k=12, m=1, a=3)
+        e32 = np.asarray(pt.cv_kfold_downdate(X, Y, 3, k=5, key=1).errors)
+        e16 = np.asarray(
+            pt.cv_kfold_downdate(X, Y, 3, k=5, key=1, x_storage="bf16").errors
+        )
+        assert np.abs(e16 - e32).max() < 5e-2
+
+    def test_cv_lso_downdate_bf16(self):
+        X, Y = _data(n=40, k=10, m=1, a=3)
+        import jax
+
+        parts = pt.cv.lso.random_partitions(jax.random.key(3), 40, 8)
+        e32 = np.asarray(
+            pt.cv_lso_downdate(X, Y, 3, 0.25, 8, partitions=parts).errors
+        )
+        e16 = np.asarray(
+            pt.cv_lso_downdate(
+                X, Y, 3, 0.25, 8, partitions=parts, x_storage="bf16"
+            ).errors
+        )
+        assert np.abs(e16 - e32).max() < 5e-2
+
+    def test_accumulator_bf16_chunks(self):
+        """StatsAccumulator(x_storage="bf16"): narrow chunks, f32 stats,
+        fit close to the f32-accumulated one."""
+        from pls_tpu.models.streaming import StatsAccumulator
+
+        X, Y = _data(n=256, k=16, m=1, a=3)
+        a32 = StatsAccumulator(16, 1)
+        a16 = StatsAccumulator(16, 1, x_storage="bf16")
+        for i in range(0, 256, 64):
+            a32.update(X[i : i + 64], Y[i : i + 64])
+            a16.update(X[i : i + 64], Y[i : i + 64])
+        assert a16.XX.dtype == jnp.float32
+        assert int(a16.n) == 256
+        rel = float(
+            jnp.abs(a16.XX - a32.XX).max() / jnp.abs(a32.XX).max()
+        )
+        assert rel < 2e-2, rel
+        B32 = pt.coefficients(a32.fit(3))
+        B16 = pt.coefficients(a16.fit(3))
+        err = float(jnp.abs(B16 - B32).max() / jnp.abs(B32).max())
+        assert err < 5e-2, err
+
+    def test_accumulator_bf16_compensated_mutually_exclusive(self):
+        from pls_tpu.models.streaming import StatsAccumulator
+
+        with pytest.raises(ValueError):
+            StatsAccumulator(8, 1, compensated=True, x_storage="bf16")
+
+    def test_resumable_forwards_x_storage(self, tmp_path):
+        """ResumableCV passes x_storage through to the underlying CV."""
+        from pls_tpu.cv.resumable import ResumableCV
+
+        X, Y = _data(n=32, k=8, m=1, a=2)
+        r = ResumableCV(str(tmp_path)).run_loo(
+            X, Y, 2, range_size=16, x_storage="bf16"
+        )
+        e32 = np.asarray(pt.cv_loo(X, Y, 2).errors)
+        assert np.abs(np.asarray(r.errors) - e32).max() < 5e-2
+
+    def test_blockdowndated_bf16_fold_block(self):
+        """fit_from_stats_blockdowndated accepts a bfloat16 fold block."""
+        from pls_tpu.models.kernel_pls import (
+            fit_from_stats,
+            fit_from_stats_blockdowndated,
+        )
+
+        X, Y = _data(n=64, k=12, m=1, a=3)
+        XX = X.T @ X
+        XY = X.T @ Y
+        Xf, Yf = X[:16], Y[:16]
+        ref = pt.coefficients(
+            fit_from_stats(XX - Xf.T @ Xf, XY - Xf.T @ Yf, 3)
+        )
+        got = pt.coefficients(
+            fit_from_stats_blockdowndated(
+                XX, XY, Xf.astype(jnp.bfloat16), Yf, 3
+            )
+        )
+        err = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+        assert err < 5e-2, err

@@ -205,3 +205,94 @@ class TestLooFromStats:
             np.asarray(full.errors[:, np.asarray(idx), :]),
             atol=1e-11,
         )
+
+
+class TestBlockDowndate:
+    """K-fold / LSO via implicit block downdates (XXf = XX − XfᵀXf) must
+    agree with brute-force masked refits to near machine precision
+    (models/kernel_pls.fit_from_stats_blockdowndated)."""
+
+    def test_kfold_downdate_equals_bruteforce(self, nir):
+        from pls_tpu.cv.kfold import cv_kfold_downdate
+
+        X, Y = nir
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        brute = pt.cv_kfold(X, Y, 4, k=6, key=7, method=pt.KERNEL_TYPE2)
+        fast = cv_kfold_downdate(X, Y, 4, k=6, key=7)
+        np.testing.assert_allclose(
+            np.asarray(fast.errors), np.asarray(brute.errors), atol=1e-9
+        )
+
+    def test_kfold_downdate_unequal_folds(self, toy):
+        """N=10 into k=3 folds (sizes 4/3/3): the zero-padding path."""
+        from pls_tpu.cv.kfold import cv_kfold_downdate
+
+        X, Y = toy
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        assign = np.array([0, 1, 2, 0, 1, 2, 0, 1, 2, 0])
+        brute = pt.cv_kfold(
+            X, Y, 2, k=3, assignments=assign, method=pt.KERNEL_TYPE2
+        )
+        fast = cv_kfold_downdate(X, Y, 2, k=3, assignments=assign)
+        np.testing.assert_allclose(
+            np.asarray(fast.errors), np.asarray(brute.errors), atol=1e-9
+        )
+
+    def test_kfold_downdate_batch_size_invariance(self, nir):
+        from pls_tpu.cv.kfold import cv_kfold_downdate
+
+        X, Y = nir
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        a = cv_kfold_downdate(X, Y, 3, k=5, key=1, batch_size=5)
+        b = cv_kfold_downdate(X, Y, 3, k=5, key=1, batch_size=2)
+        np.testing.assert_allclose(
+            np.asarray(a.errors), np.asarray(b.errors), atol=1e-12
+        )
+
+    def test_lso_downdate_equals_bruteforce(self, toy):
+        from pls_tpu.cv.lso import cv_lso_downdate
+
+        X, Y = toy
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        parts = GccRng().lso_partitions(10, 20)
+        brute = pt.cv_lso(
+            X, Y, 2, 0.3, 20, partitions=parts, method=pt.KERNEL_TYPE2
+        )
+        fast = cv_lso_downdate(X, Y, 2, 0.3, 20, partitions=parts)
+        np.testing.assert_allclose(
+            np.asarray(fast.errors), np.asarray(brute.errors), atol=1e-9
+        )
+
+    def test_kfold_from_stats_matches_downdate(self, nir):
+        """Streamed-stats k-fold (fold blocks supplied one at a time) must
+        equal the in-memory downdate path."""
+        from pls_tpu.cv.kfold import cv_kfold_downdate, cv_kfold_from_stats
+
+        X, Y = nir
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        N = X.shape[0]
+        k = 5
+        # contiguous-block folds so the concatenated from-stats layout is
+        # row order
+        assign = np.arange(N) * k // N
+        ref = cv_kfold_downdate(X, Y, 4, k=k, assignments=assign)
+        XX = X.T @ X
+        XY = X.T @ Y
+        folds = (
+            (X[assign == f], Y[assign == f]) for f in range(k)
+        )
+        got = cv_kfold_from_stats(XX, XY, folds, 4)
+        np.testing.assert_allclose(
+            np.asarray(got.errors), np.asarray(ref.errors), atol=1e-10
+        )
+
+    def test_kfold_downdate_feeds_validation_stack(self, nir):
+        """The downdate Residual flows through PRESS/optimal-components."""
+        from pls_tpu.cv.kfold import cv_kfold_downdate
+
+        X, Y = nir
+        res = cv_kfold_downdate(jnp.asarray(X), jnp.asarray(Y), 6, k=10, key=0)
+        press = pt.validation(res, pt.RESS)
+        assert press.shape == (1, 6)
+        opt = pt.optimal_num_components(res)
+        assert 1 <= int(np.asarray(opt)[0]) <= 6

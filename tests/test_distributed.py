@@ -134,6 +134,27 @@ class TestShardedCV:
             np.asarray(sh.errors), np.asarray(local.errors), atol=1e-10
         )
 
+    def test_lso_rowsharded_equals_local(self, data):
+        """Row-sharded LSO (X never replicated) == local cv_lso."""
+        from pls_tpu.parallel import cv_lso_rowsharded
+
+        X, Y = data
+        N = X.shape[0]
+        mesh = make_pls_mesh(rows=8, folds=1)
+        rng = np.random.default_rng(11)
+        trials = 6
+        parts = jnp.asarray(np.stack([rng.permutation(N) for _ in range(trials)]))
+        train_size = 48
+        sh = cv_lso_rowsharded(
+            X, Y, 4, parts, train_size, mesh=mesh, trial_batch=2
+        )
+        local = pt.cv_lso(
+            X, Y, 4, (N - train_size) / N, trials, partitions=parts
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh.errors), np.asarray(local.errors), atol=1e-10
+        )
+
 
 class TestTrainStep:
     def test_composed_step(self, data):

@@ -4,7 +4,7 @@
 # but for a Python/JAX project: build native bits, test, bench, regenerate
 # golden parity fixtures.
 
-.PHONY: native predictor test test-fast bench golden clean
+.PHONY: native predictor test test-fast bench golden clean prewarm tpu-test
 
 native:
 	python setup.py build_ext --inplace
@@ -20,6 +20,16 @@ test-fast:
 
 bench:
 	python bench.py
+
+# Populate the persistent XLA compilation cache (tools/prewarm.py) so
+# benches/tests on relay-attached TPUs skip the cold-compile tax.
+prewarm:
+	python tools/prewarm.py --profile all
+
+# Hardware parity gate: kernel exactness + fit parity + auto-dispatch on
+# the real TPU (tests marked `tpu`; skipped in the CPU-forced suite).
+tpu-test:
+	PLS_TPU_HW=1 python -m pytest tests/test_tpu_hw.py -v -m tpu
 
 golden:
 	tools/gen_golden.sh

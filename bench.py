@@ -67,6 +67,33 @@ def supervise() -> int:
     # different microarchitecture, which load with feature-mismatch
     # warnings and run an order of magnitude slow (observed 50
     # ms/component vs 2.5).
+    # Phase 0: prewarm the persistent compilation cache in its own
+    # watchdogged child (tools/prewarm.py AOT-compiles the bench programs
+    # with no operand allocation).  Warm cache -> every measurement
+    # attempt skips straight to execution, so a stalled attempt is cheap
+    # to kill and retry.  A stalled/failed prewarm is tolerated: the
+    # measurement attempts then just compile inline as before.
+    prewarm_cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "prewarm.py"),
+        "--profile", "bench",
+    ]
+    tmo = min(budget * 0.20, budget - 60)
+    if tmo > 5:
+        t0 = time.monotonic()
+        proc = subprocess.Popen(prewarm_cmd, start_new_session=True)
+        try:
+            proc.wait(timeout=tmo)
+            log(f"prewarm: rc={proc.returncode} in {time.monotonic()-t0:.0f}s")
+        except subprocess.TimeoutExpired:
+            log(f"prewarm: stalled >{tmo:.0f}s, killing group and moving on")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+
     attempts = [
         ({}, budget * 0.30),
         ({}, budget * 0.25),
@@ -149,6 +176,13 @@ def main() -> int:
     N, K = (131072, 2048) if on_tpu else (8192, 1024)
     dtype = jnp.float32
     gb = N * K * 4 / 1e9
+
+    # absorb the per-process first-dispatch stall roll (observed 200 s -
+    # 40 min through the relay, independent of program size) on a tiny
+    # program, so it can't pollute the per-program compile+first logs
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.zeros((8,)) + 1)
+    log(f"first dispatch: {time.perf_counter() - t0:.1f}s")
 
     key = jax.random.key(0)
     kx, kr = jax.random.split(key)
@@ -238,7 +272,10 @@ def main() -> int:
             log(f"bf16 variant failed: {e}")
     if not results or (time.perf_counter() - start) < budget * 0.5:
         try:
-            results["xla_two_pass"] = slope_time(deflate_pass_xla, "xla_two_pass")
+            # jitted so the program matches tools/prewarm.py's cache entry
+            results["xla_two_pass"] = slope_time(
+                jax.jit(deflate_pass_xla), "xla_two_pass"
+            )
         except Exception as e:
             log(f"xla comparison failed: {e}")
             if not results:

@@ -138,6 +138,13 @@ from pls_tpu.utils.checkpoint import (
     register_checkpointable,
 )
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
+from pls_tpu.utils.binio import (
+    fit_streaming_npy,
+    npy_chunks,
+    stats_from_npy,
+    stream_npy,
+    write_npy_chunked,
+)
 from pls_tpu.preprocess import ZScorer
 from pls_tpu.transfer import (
     TransferModel,
@@ -377,6 +384,11 @@ __all__ = [
     "collect_moments",
     "fit_streaming",
     "fit_streaming_csv",
+    "fit_streaming_npy",
+    "npy_chunks",
+    "stats_from_npy",
+    "stream_npy",
+    "write_npy_chunked",
     "stream_matrix_file",
     "export_model_c",
     "load_model_c",

@@ -1,0 +1,292 @@
+"""Binary (.npy) matrix ingest: disk → host → device, double-buffered.
+
+The reference's pipeline starts at disk (`read_matrix_file`,
+/root/reference/src/pls.cpp:37-67, driven at src/main.cpp:21-22) — but
+CSV is the wrong container at the 1M×10k north-star scale (40 GB of X):
+parsing dominates and the bytes are ~2.5× the binary size.  This module
+is the production ingest path: standard .npy files (numpy's format, so
+any tool can produce them), streamed in row chunks with
+
+  1. a background reader thread issuing `os.pread` into preallocated
+     buffers — pread is a raw syscall that RELEASES the GIL, so disk
+     latency genuinely overlaps Python-side work (a numpy memmap copy
+     would page-fault with the GIL held);
+  2. a device-transfer lookahead (`device_stream`): the next chunk's
+     `jax.device_put` is issued while the accumulator consumes the
+     current one, hiding host→device latency behind compute.
+
+Throughput is bounded by min(disk read, host→device transfer) — both
+measured and recorded by benchmarks/ingest_bench.py; the TPU-side
+XᵀX/XᵀY accumulation (models/streaming.py) is far faster than either,
+so the pipeline runs at the IO bound, which is the physical optimum for
+a single pass.  Store X as bfloat16 on disk (`x_storage="bf16"` end to
+end) to halve BOTH bounds; the accumulator then upcasts on the MXU with
+f32 accumulation (StatsAccumulator x_storage docs).
+
+No native-code reader is needed here, unlike the CSV path (native/
+pls_native.cpp): there is nothing to parse — pread into a buffer IS the
+optimal loader, in any language.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+
+def _npy_layout(path: str) -> tuple[tuple[int, ...], np.dtype, int, bool]:
+    """(shape, dtype, data_offset_bytes, fortran_order) of a .npy file,
+    using numpy's own header parser (no data read)."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        if dtype.kind == "V" and dtype.itemsize == 2 and dtype.names is None:
+            # bfloat16 round-trips through the .npy descr as a 2-byte
+            # void ('|V2') — the same convention jnp.save/load uses;
+            # map it back so bf16-on-disk streams as bf16
+            import ml_dtypes
+
+            dtype = np.dtype(ml_dtypes.bfloat16)
+        return shape, dtype, f.tell(), fortran
+
+
+def npy_shape(path: str) -> tuple[tuple[int, ...], np.dtype]:
+    """(shape, dtype) of a .npy file from its header alone."""
+    shape, dtype, _, _ = _npy_layout(path)
+    return shape, dtype
+
+
+def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
+    """Write an iterable of (rows, K) blocks as ONE .npy file without ever
+    materializing the full matrix (the generator side of the out-of-core
+    story).  All chunks must share K and dtype (or be castable to
+    `dtype`).  Returns the final (N, K).
+
+    The header is written with a placeholder row count and patched in
+    place at the end — the .npy format reserves padded header space, and
+    we format the shape field to a fixed width so the patch never moves
+    the data offset.
+    """
+    it = iter(chunks)
+    first = np.ascontiguousarray(next(it))
+    if dtype is not None:
+        first = first.astype(dtype, copy=False)
+    K = first.shape[1] if first.ndim == 2 else 1
+    first = first.reshape(first.shape[0], K)
+    with open(path, "wb") as f:
+        # fixed-width shape field: up to 20 digits of N
+        header = {
+            "descr": np.lib.format.dtype_to_descr(first.dtype),
+            "fortran_order": False,
+            "shape": (0, K),
+        }
+        np.lib.format._write_array_header(f, header, version=(1, 0))
+        data_off = f.tell()
+        n = 0
+        import itertools
+
+        for chunk in itertools.chain([first], it):
+            chunk = np.ascontiguousarray(chunk).astype(first.dtype, copy=False)
+            chunk = chunk.reshape(chunk.shape[0], K)
+            f.write(chunk.tobytes())
+            n += chunk.shape[0]
+    # patch the true N into the header (rewrite the whole padded header;
+    # numpy pads with spaces so equal-or-shorter shape strings fit)
+    with open(path, "r+b") as f:
+        header["shape"] = (n, K)
+        np.lib.format._write_array_header(f, header, version=(1, 0))
+        if f.tell() > data_off:
+            raise ValueError(
+                "npy header grew while patching the row count — file corrupt"
+            )
+    return n, K
+
+
+def stream_npy(path: str, chunk_rows: int, *, threaded: bool = True):
+    """Yield (rows ≤ chunk_rows, K) C-contiguous blocks of a 2-D .npy.
+
+    threaded=True (default): a background thread pread()s chunk i+1 from
+    disk while chunk i is being consumed — double-buffered, bounded at 2
+    chunks in flight.  The thread spends its time in the pread syscall
+    (GIL released), so the overlap is real.
+    """
+    shape, dtype, off, fortran = _npy_layout(path)
+    if len(shape) != 2:
+        raise ValueError(f"{path}: expected 2-D array, got shape {shape}")
+    if fortran:
+        raise ValueError(f"{path}: fortran-order arrays are not streamable")
+    if chunk_rows <= 0:
+        raise ValueError("chunk_rows must be positive")
+    N, K = shape
+    row_bytes = K * dtype.itemsize
+
+    if not threaded:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            for start in range(0, N, chunk_rows):
+                rows = min(chunk_rows, N - start)
+                buf = _pread_exact(fd, rows * row_bytes, off + start * row_bytes)
+                yield np.frombuffer(buf, dtype=dtype).reshape(rows, K)
+        finally:
+            os.close(fd)
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def reader():
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            for start in range(0, N, chunk_rows):
+                if stop.is_set():
+                    return
+                rows = min(chunk_rows, N - start)
+                buf = _pread_exact(fd, rows * row_bytes, off + start * row_bytes)
+                q.put(np.frombuffer(buf, dtype=dtype).reshape(rows, K))
+            q.put(None)
+        except BaseException as e:  # surface IO errors on the consumer side
+            q.put(e)
+        finally:
+            os.close(fd)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so the producer's blocked put() wakes and sees stop
+        while not q.empty():
+            q.get_nowait()
+
+
+def _pread_exact(fd: int, nbytes: int, offset: int) -> bytes:
+    parts = []
+    while nbytes:
+        b = os.pread(fd, nbytes, offset)
+        if not b:
+            raise IOError("unexpected EOF")
+        parts.append(b)
+        nbytes -= len(b)
+        offset += len(b)
+    return parts[0] if len(parts) == 1 else b"".join(parts)
+
+
+def device_stream(chunks, *, cast=None):
+    """Iterate device arrays with ONE transfer in flight ahead of the
+    consumer: `jax.device_put(chunk[i+1])` is issued (async on TPU
+    runtimes) before chunk i is yielded, so the host→device copy of the
+    next chunk overlaps the device compute on the current one.
+
+    cast: optional dtype applied ON HOST before the transfer — pass
+    jnp.bfloat16 to halve the transfer bytes (the x_storage="bf16"
+    ingest path; numpy handles the cast via ml_dtypes).
+    """
+    import jax
+
+    it = iter(chunks)
+    prev = None
+    for chunk in it:
+        if cast is not None:
+            chunk = chunk.astype(cast)
+        cur = jax.device_put(chunk)
+        if prev is not None:
+            yield prev
+        prev = cur
+    if prev is not None:
+        yield prev
+
+
+def npy_chunks(x_path: str, y_path: str, chunk_rows: int, *, threaded=True):
+    """Aligned (X_chunk, Y_chunk) blocks of two .npy files (the binary
+    analogue of models/streaming.csv_chunks).  Raises on row-count
+    mismatch."""
+    (nx, _), _dt = npy_shape(x_path)
+    shape_y, _ = npy_shape(y_path)
+    if shape_y[0] != nx:
+        raise ValueError(
+            f"{x_path} and {y_path} have different numbers of rows"
+        )
+    xs = stream_npy(x_path, chunk_rows, threaded=threaded)
+    ys = stream_npy(y_path, chunk_rows, threaded=False)  # tiny: no thread
+    for xc, yc in zip(xs, ys):
+        yield xc, yc
+
+
+def fit_streaming_npy(
+    x_path: str,
+    y_path: str,
+    A: int,
+    *,
+    chunk_rows: int = 16384,
+    x_storage: str | None = None,
+    dtype=None,
+    **kw,
+):
+    """Out-of-core fit straight from .npy files — the binary analogue of
+    models/streaming.fit_streaming_csv, with the threaded pread loader
+    and the device-transfer lookahead.  X never exists in host or device
+    memory beyond two chunks.
+
+    x_storage="bf16": chunks are cast to bfloat16 on host (halving the
+    host→device bytes) and accumulated in f32 on the MXU.  If the .npy
+    itself is stored bfloat16, the disk read is halved too and no cast
+    happens.  Pre-scaled data is assumed (the caller z-scores, as in the
+    reference CLI); for exact streaming z-scoring use collect_moments +
+    fit_streaming over `npy_chunks`.
+    """
+    acc = stats_from_npy(
+        x_path, y_path, chunk_rows=chunk_rows, x_storage=x_storage,
+        dtype=dtype,
+    )
+    return acc.fit(A, **kw)
+
+
+def stats_from_npy(
+    x_path: str,
+    y_path: str,
+    *,
+    chunk_rows: int = 16384,
+    x_storage: str | None = None,
+    dtype=None,
+    compensated: bool = False,
+):
+    """One streaming pass over binary files → StatsAccumulator holding
+    XᵀX / XᵀY (the basis for fit_from_stats, cv_loo_from_stats, and
+    cv_kfold_from_stats at north-star scale)."""
+    import jax.numpy as jnp
+
+    from pls_tpu.models.streaming import StatsAccumulator
+
+    (N, K), x_dtype = npy_shape(x_path)
+    shape_y, _ = npy_shape(y_path)
+    M = shape_y[1] if len(shape_y) == 2 else 1
+    if dtype is None:
+        dtype = jnp.float32
+    cast = jnp.bfloat16 if x_storage else None
+    if x_dtype.itemsize < 4:
+        cast = None  # already narrow on disk; transfer as-is
+        if x_storage is None and not compensated:
+            # bf16-on-disk chunks should stream the MXU narrow too (the
+            # upcast would cost bandwidth and change nothing: bf16
+            # products are exact in f32 either way)
+            x_storage = "bf16"
+    acc = StatsAccumulator(
+        K, M, dtype, compensated=compensated, x_storage=x_storage
+    )
+    xs = device_stream(
+        stream_npy(x_path, chunk_rows, threaded=True), cast=cast
+    )
+    ys = device_stream(stream_npy(y_path, chunk_rows, threaded=False), cast=cast)
+    for Xc, Yc in zip(xs, ys):
+        acc.update(Xc, Yc)
+    return acc

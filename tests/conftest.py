@@ -8,20 +8,28 @@ vars must be set before jax is imported anywhere in the process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PLS_TPU_HW=1 (`make tpu-test`) runs the hardware-parity suite on the
+# real accelerator: leave the platform alone and keep x64 off (TPUs have
+# no f64).  Default: the CPU-forced 8-virtual-device x64 suite.
+_HW = os.environ.get("PLS_TPU_HW") == "1"
+
+if not _HW:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# Some environments pre-register an accelerator plugin from sitecustomize and
-# force jax_platforms programmatically; override at the config level (backends
-# initialize lazily, so this wins as long as it runs before first device use).
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _HW:
+    # Some environments pre-register an accelerator plugin from
+    # sitecustomize and force jax_platforms programmatically; override at
+    # the config level (backends initialize lazily, so this wins as long
+    # as it runs before first device use).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 from pls_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 

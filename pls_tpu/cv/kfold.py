@@ -260,9 +260,11 @@ def cv_kfold_from_stats(
             XX, XY, Xf, Yf.astype(acc), A,
             power_iters=power_iters, precision=precision,
         )
-        outs.append(
-            residuals_all_components(f, Xf.astype(acc), Yf.astype(acc))
-        )  # (Nf, A, M)
+        res = residuals_all_components(f, Xf.astype(acc), Yf.astype(acc))
+        # backpressure: finish this fold before pulling the next block —
+        # a fold block is GBs at production scale, and async dispatch
+        # would otherwise pin every block's buffers at once
+        outs.append(jax.block_until_ready(res))  # (Nf, A, M)
     errs = jnp.concatenate(outs, axis=0)
     return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="K-FOLD")
 

@@ -241,6 +241,12 @@ def device_stream(chunks, *, cast=None):
     """
     import jax
 
+    # On the CPU backend device_put can ZERO-COPY (the "device" array
+    # aliases the host buffer) — incompatible with rotating reused
+    # buffers upstream; force a real copy there.  Accelerator backends
+    # genuinely transfer, so no copy is added on the production path.
+    force_copy = jax.default_backend() == "cpu"
+
     it = iter(chunks)
     prev = None
     cast_pool: list = [None, None, None]  # rotating cast buffers (alloc tax)
@@ -253,6 +259,8 @@ def device_stream(chunks, *, cast=None):
                 cast_pool[slot] = buf
             np.copyto(buf, chunk, casting="unsafe")
             chunk = buf
+        if force_copy:
+            chunk = np.array(chunk)
         cur = jax.device_put(chunk)
         if prev is not None:
             yield jax.block_until_ready(prev)
@@ -261,17 +269,23 @@ def device_stream(chunks, *, cast=None):
         yield jax.block_until_ready(prev)
 
 
-def npy_chunks(x_path: str, y_path: str, chunk_rows: int, *, threaded=True):
+def npy_chunks(
+    x_path: str, y_path: str, chunk_rows: int, *, threaded=True,
+    reuse_buffers: bool = False,
+):
     """Aligned (X_chunk, Y_chunk) blocks of two .npy files (the binary
     analogue of models/streaming.csv_chunks).  Raises on row-count
-    mismatch."""
+    mismatch.  reuse_buffers: see stream_npy — only for consumers that
+    copy/consume each X chunk before the 4-slot pool wraps."""
     (nx, _), _dt = npy_shape(x_path)
     shape_y, _ = npy_shape(y_path)
     if shape_y[0] != nx:
         raise ValueError(
             f"{x_path} and {y_path} have different numbers of rows"
         )
-    xs = stream_npy(x_path, chunk_rows, threaded=threaded)
+    xs = stream_npy(
+        x_path, chunk_rows, threaded=threaded, reuse_buffers=reuse_buffers
+    )
     ys = stream_npy(y_path, chunk_rows, threaded=False)  # tiny: no thread
     for xc, yc in zip(xs, ys):
         yield xc, yc
@@ -314,10 +328,23 @@ def stats_from_npy(
     x_storage: str | None = None,
     dtype=None,
     compensated: bool = False,
+    sync_every: int = 1,
 ):
     """One streaming pass over binary files → StatsAccumulator holding
     XᵀX / XᵀY (the basis for fit_from_stats, cv_loo_from_stats, and
-    cv_kfold_from_stats at north-star scale)."""
+    cv_kfold_from_stats at north-star scale).
+
+    sync_every: block on the accumulator every N chunks.  This is the
+    pipeline's backpressure: async dispatch otherwise races arbitrarily
+    far ahead of execution, and on proxy/relay runtimes every
+    outstanding chunk pins host memory (observed: 60+ GB RSS on a 40 GB
+    pass with no sync).  The per-chunk update is tiny next to the
+    transfer, and the NEXT chunk's disk read still overlaps in the
+    reader thread, so sync_every=1 costs only the transfer/compute
+    overlap between adjacent chunks — noise when ingest is IO-bound.
+    0 disables (directly-attached devices with real async dispatch).
+    """
+    import jax
     import jax.numpy as jnp
 
     from pls_tpu.models.streaming import StatsAccumulator
@@ -343,6 +370,8 @@ def stats_from_npy(
         cast=cast,
     )
     ys = device_stream(stream_npy(y_path, chunk_rows, threaded=False), cast=cast)
-    for Xc, Yc in zip(xs, ys):
+    for i, (Xc, Yc) in enumerate(zip(xs, ys)):
         acc.update(Xc, Yc)
+        if sync_every and (i + 1) % sync_every == 0:
+            jax.block_until_ready(acc.XX)
     return acc

@@ -256,7 +256,7 @@ from pls_tpu.models.diagnostics import (
     x_residuals,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "METHOD",

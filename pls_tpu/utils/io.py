@@ -131,7 +131,22 @@ def stream_matrix_file(filename: str, chunk_rows: int, separator: str = ","):
 
 
 def read_matrix_file(filename: str, separator: str = ",") -> np.ndarray:
-    """Read a headerless CSV into a float64 (rows, cols) array."""
+    """Read a matrix file into a float64 (rows, cols) array.
+
+    Headerless CSV by default (the reference's container,
+    /root/reference/src/pls.cpp:37-67); files ending in ``.npy`` load as
+    binary numpy arrays instead (the production container —
+    utils/binio.py streams them out-of-core; here the whole matrix is
+    wanted in memory, so plain np.load suffices).  1-D .npy arrays are
+    treated as a single column.
+    """
+    if str(filename).endswith(".npy"):
+        arr = np.load(filename)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        if arr.ndim != 2:
+            raise ValueError(f"{filename}: expected 1-D or 2-D array")
+        return np.asarray(arr, np.float64)
     try:
         from pls_tpu import _native  # built from native/pls_native.cpp
     except ImportError:

@@ -236,3 +236,23 @@ def test_cli_preprocess_flag(tmp_path, capfd):
     assert "explained variance" in err
     rc = main([xf, yf, "2", "--cv", "none", "--preprocess", "bogus"])
     assert rc == 1
+
+
+class TestNpyInput:
+    def test_cli_accepts_npy_files(self, tmp_path, golden, capsys):
+        """Production .npy inputs flow through the same pipeline: same
+        numbers as the CSV path on identical data."""
+        import numpy as np
+
+        from pls_tpu.cli import main
+
+        X = golden("toy_Xz")
+        Y = golden("toy_Yz")
+        xnpy = str(tmp_path / "x.npy")
+        ynpy = str(tmp_path / "y.npy")
+        np.save(xnpy, X)
+        np.save(ynpy, Y[:, 0])  # 1-D y: treated as one column
+        rc = main([xnpy, ynpy, "2", "--cv", "none", "--preprocess", ""])
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "components explained variance" in err

@@ -169,3 +169,40 @@ class TestFitParityOnHardware:
         rmse_ref = golden("nir_loo_rmse")[:, :5]
         rel = np.abs(rmse_hw - rmse_ref).max() / np.abs(rmse_ref).max()
         assert rel < 2e-2, f"LOO RMSE rel err vs reference {rel:.2e}"
+
+
+class TestR04PathsOnHardware:
+    """Round-4 additions exercised on the real chip: block-downdate CV
+    and the bf16 x_storage fit."""
+
+    def test_kfold_downdate_matches_bruteforce_on_hw(self, golden):
+        X = jnp.asarray(golden("nir_Xz"), jnp.float32)
+        Y = jnp.asarray(golden("nir_Yz"), jnp.float32)
+        brute = pt.cv_kfold(X, Y, 4, k=5, key=3, method=pt.KERNEL_TYPE2,
+                            precision="highest")
+        fast = pt.cv_kfold_downdate(X, Y, 4, k=5, key=3, precision="highest")
+        err = np.abs(
+            np.asarray(fast.errors) - np.asarray(brute.errors)
+        ).max()
+        # f32 floor for the STATISTICS-side formulation: XX − XfᵀXf
+        # cancels where the masked refit computes the small fold
+        # statistics directly — measured 2.6e-3 abs on O(1) residuals
+        # here (sub-1% relative; CPU x64 parity is 1e-9,
+        # tests/test_cv.py)
+        assert err < 1e-2, f"block-downdate vs brute abs err {err:.2e}"
+
+    def test_bf16_x_storage_fit_on_hw(self):
+        kx, ky, ke = jax.random.split(jax.random.key(7), 3)
+        N, K, A = 32768, 1024, 4
+        X = jax.random.normal(kx, (N, K), jnp.float32)
+        Y = (
+            X @ jax.random.normal(ky, (K, 1), jnp.float32) / K**0.5
+            + 0.05 * jax.random.normal(ke, (N, 1), jnp.float32)
+        )
+        f32 = pt.fit(X, Y, A)
+        f16 = pt.fit(X, Y, A, x_storage="bf16")
+        assert f16.W.dtype == jnp.float32
+        B32 = np.asarray(pt.coefficients(f32))
+        B16 = np.asarray(pt.coefficients(f16))
+        rel = np.abs(B16 - B32).max() / np.abs(B32).max()
+        assert rel < 2e-2, f"bf16 storage rel err {rel:.2e}"

@@ -4,7 +4,7 @@
 # but for a Python/JAX project: build native bits, test, bench, regenerate
 # golden parity fixtures.
 
-.PHONY: native predictor test test-fast bench golden clean prewarm tpu-test
+.PHONY: native predictor test test-fast bench golden clean prewarm tpu-test ingest-bench
 
 native:
 	python setup.py build_ext --inplace
@@ -30,6 +30,17 @@ prewarm:
 # the real TPU (tests marked `tpu`; skipped in the CPU-forced suite).
 tpu-test:
 	PLS_TPU_HW=1 python -m pytest tests/test_tpu_hw.py -v -m tpu
+
+# Disk-fed north-star measurement (benchmarks/ingest_bench.py), phased
+# so each process's relay host-memory footprint stays bounded; the 40 GB
+# dataset generates once into $(NS_DATA) and is reused.
+NS_DATA ?= /root/ns_data
+NS_ART ?= benchmarks/results/ingest_northstar.json
+ingest-bench:
+	python benchmarks/ingest_bench.py --datadir $(NS_DATA) --phase probe --out $(NS_ART)
+	python benchmarks/ingest_bench.py --datadir $(NS_DATA) --phase stats --out $(NS_ART)
+	python benchmarks/ingest_bench.py --datadir $(NS_DATA) --phase cv --out $(NS_ART)
+	python benchmarks/ingest_bench.py --datadir $(NS_DATA) --phase kfold --kfold 10 --out $(NS_ART)
 
 golden:
 	tools/gen_golden.sh

@@ -77,11 +77,13 @@ def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
     K = first.shape[1] if first.ndim == 2 else 1
     first = first.reshape(first.shape[0], K)
     with open(path, "wb") as f:
-        # fixed-width shape field: up to 20 digits of N
+        # write the placeholder header with a 16-digit sentinel row count
+        # so the final patch can only be equal-or-shorter — the real N's
+        # digits always fit inside the reserved (64-byte-aligned) header
         header = {
             "descr": np.lib.format.dtype_to_descr(first.dtype),
             "fortran_order": False,
-            "shape": (0, K),
+            "shape": (10**15, K),
         }
         np.lib.format._write_array_header(f, header, version=(1, 0))
         data_off = f.tell()
@@ -97,15 +99,30 @@ def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
             f.flush()
             chunk.tofile(f)
             n += chunk.shape[0]
-    # patch the true N into the header (rewrite the whole padded header;
-    # numpy pads with spaces so equal-or-shorter shape strings fit)
+    if n > 10**15:
+        raise ValueError("write_npy_chunked: more than 1e15 rows")
+    # patch the true N into the header; if the shorter shape string lands
+    # in a smaller 64-byte padding bucket, re-pad to the ORIGINAL data
+    # offset and fix the v1 header-length field so np.load still finds
+    # the data exactly at data_off
+    import struct
+
     with open(path, "r+b") as f:
         header["shape"] = (n, K)
         np.lib.format._write_array_header(f, header, version=(1, 0))
-        if f.tell() > data_off:
+        pos = f.tell()
+        if pos > data_off:
             raise ValueError(
                 "npy header grew while patching the row count — file corrupt"
             )
+        if pos < data_off:
+            hlen = data_off - 10  # v1.0: magic(6) + version(2) + len(2)
+            if hlen > 0xFFFF:
+                raise ValueError("npy v1 header length overflow")
+            f.seek(8)
+            f.write(struct.pack("<H", hlen))
+            f.seek(pos - 1)
+            f.write(b" " * (data_off - pos) + b"\n")
     return n, K
 
 

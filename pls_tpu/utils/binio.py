@@ -36,13 +36,29 @@ import threading
 
 import numpy as np
 
+# Rotating-pool size for stream_npy(reuse_buffers=True).  The reader
+# thread leads the newest yielded chunk by ≤3 (2 queued + 1 in
+# progress), so a P-slot pool keeps a yielded chunk intact for P-4 more
+# yields; device_stream holds a chunk across exactly 1 further yield
+# (its in-flight transfer), so P=5 is the minimum and 6 adds margin.
+_POOL_SLOTS = 6
+
 
 def _npy_layout(path: str) -> tuple[tuple[int, ...], np.dtype, int, bool]:
     """(shape, dtype, data_offset_bytes, fortran_order) of a .npy file,
-    using numpy's own header parser (no data read)."""
+    using numpy's PUBLIC header parsers (no data read, no private APIs —
+    `np.lib.format.read_array_header_{1,2}_0` are documented stable)."""
     with open(path, "rb") as f:
         version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        if version == (1, 0):
+            shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+        elif version == (2, 0):
+            shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+        else:
+            raise ValueError(
+                f"{path}: unsupported .npy format version {version} "
+                "(streamable ingest supports 1.0 and 2.0)"
+            )
         if dtype.kind == "V" and dtype.itemsize == 2 and dtype.names is None:
             # bfloat16 round-trips through the .npy descr as a 2-byte
             # void ('|V2') — the same convention jnp.save/load uses;
@@ -85,7 +101,7 @@ def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
             "fortran_order": False,
             "shape": (10**15, K),
         }
-        np.lib.format._write_array_header(f, header, version=(1, 0))
+        np.lib.format.write_array_header_1_0(f, header)
         data_off = f.tell()
         n = 0
         import itertools
@@ -109,7 +125,7 @@ def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
 
     with open(path, "r+b") as f:
         header["shape"] = (n, K)
-        np.lib.format._write_array_header(f, header, version=(1, 0))
+        np.lib.format.write_array_header_1_0(f, header)
         pos = f.tell()
         if pos > data_off:
             raise ValueError(
@@ -137,15 +153,22 @@ def stream_npy(
     chunks in flight.  The thread spends its time in the pread syscall
     (GIL released), so the overlap is real.
 
-    reuse_buffers=True: chunks are backed by a rotating pool of 4
-    preallocated buffers instead of fresh allocations — on this class of
-    VM a fresh 655 MB allocation page-faults at ~100 MB/s, swamping the
-    disk itself (measured: 0.08 vs 0.3+ GB/s).  A yielded chunk is only
-    valid until THREE more chunks have been yielded; use the default for
-    consumers that retain chunks, and reuse_buffers=True for streaming
-    pipelines that consume each chunk before the pool wraps
-    (stats_from_npy + device_stream, which blocks each transfer before
-    releasing its buffer slot).
+    reuse_buffers=True: chunks are backed by a rotating pool of
+    `_POOL_SLOTS` (6) preallocated buffers instead of fresh allocations —
+    on this class of VM a fresh 655 MB allocation page-faults at
+    ~100 MB/s, swamping the disk itself (measured: 0.08 vs 0.3+ GB/s).
+    Validity contract: the reader thread runs at most 3 chunks ahead of
+    the newest yielded chunk (2 parked in the queue + 1 being pread),
+    and chunk c's buffer is reused for chunk c+6 — so a yielded chunk
+    is guaranteed intact until TWO more chunks have been yielded, and
+    may be overwritten any time after the third.  `device_stream` needs
+    chunk c intact only until chunk c+1 has been yielded (it force-
+    completes c's host→device transfer at that point — jax requires the
+    host buffer immutable until the async device_put finishes), leaving
+    one yield of safety margin; a 4-slot pool, by contrast, would let
+    the reader clobber a chunk whose transfer is still in flight
+    whenever disk outpaces the transfer link (the r04 advisor race).
+    Use the default for consumers that retain chunks longer.
     """
     shape, dtype, off, fortran = _npy_layout(path)
     if len(shape) != 2:
@@ -159,14 +182,14 @@ def stream_npy(
 
     pool: list[bytearray] | None = None
     if reuse_buffers:
-        pool = [bytearray(chunk_rows * row_bytes) for _ in range(4)]
+        pool = [bytearray(chunk_rows * row_bytes) for _ in range(_POOL_SLOTS)]
 
     def read_chunk(fd: int, idx: int, start: int) -> np.ndarray:
         rows = min(chunk_rows, N - start)
         nbytes = rows * row_bytes
         pos = off + start * row_bytes
         if pool is not None:
-            mv = memoryview(pool[idx % 4])[:nbytes]
+            mv = memoryview(pool[idx % _POOL_SLOTS])[:nbytes]
             _pread_into(fd, mv, pos)
             return np.frombuffer(mv, dtype=dtype).reshape(rows, K)
         return np.frombuffer(
@@ -308,12 +331,21 @@ def npy_chunks(
         yield xc, yc
 
 
+def auto_chunk_rows(x_dtype) -> int:
+    """Measured-optimum default chunk size for the streaming accumulator
+    (tools/accumulator_sweep.py, v5e, K=10k): 32768 rows for narrow
+    (bf16) storage — 89% of the bf16 MXU peak — and 16384 for f32, where
+    the update plateaus at every size and the smaller chunk halves the
+    host pool footprint."""
+    return 32768 if np.dtype(x_dtype).itemsize < 4 else 16384
+
+
 def fit_streaming_npy(
     x_path: str,
     y_path: str,
     A: int,
     *,
-    chunk_rows: int = 16384,
+    chunk_rows: int | None = None,
     x_storage: str | None = None,
     dtype=None,
     **kw,
@@ -341,7 +373,7 @@ def stats_from_npy(
     x_path: str,
     y_path: str,
     *,
-    chunk_rows: int = 16384,
+    chunk_rows: int | None = None,
     x_storage: str | None = None,
     dtype=None,
     compensated: bool = False,
@@ -350,6 +382,13 @@ def stats_from_npy(
     """One streaming pass over binary files → StatsAccumulator holding
     XᵀX / XᵀY (the basis for fit_from_stats, cv_loo_from_stats, and
     cv_kfold_from_stats at north-star scale).
+
+    chunk_rows=None picks the measured-optimum default for the on-disk
+    dtype (auto_chunk_rows: 32768 narrow / 16384 f32).  Only an exactly
+    bfloat16-on-disk file auto-selects the narrow MXU path; any other
+    sub-4-byte dtype (float16, int16, int8, ...) is upcast to f32 on
+    host so no mantissa bits or integer exactness are silently dropped
+    (pass x_storage="bf16" to opt in to narrowing those).
 
     sync_every: block on the accumulator every N chunks.  This is the
     pipeline's backpressure: async dispatch otherwise races arbitrarily
@@ -366,19 +405,28 @@ def stats_from_npy(
 
     from pls_tpu.models.streaming import StatsAccumulator
 
+    import ml_dtypes
+
     (N, K), x_dtype = npy_shape(x_path)
     shape_y, _ = npy_shape(y_path)
     M = shape_y[1] if len(shape_y) == 2 else 1
     if dtype is None:
         dtype = jnp.float32
+    if chunk_rows is None:
+        chunk_rows = auto_chunk_rows(x_dtype)
     cast = jnp.bfloat16 if x_storage else None
-    if x_dtype.itemsize < 4:
+    if x_dtype == np.dtype(ml_dtypes.bfloat16):
         cast = None  # already narrow on disk; transfer as-is
         if x_storage is None and not compensated:
             # bf16-on-disk chunks should stream the MXU narrow too (the
             # upcast would cost bandwidth and change nothing: bf16
             # products are exact in f32 either way)
             x_storage = "bf16"
+    elif x_dtype.itemsize < 4 and cast is None:
+        # float16/int16/int8/... must NOT silently ride the bf16 path
+        # (it would discard f16 mantissa bits / integer exactness);
+        # upcast on host unless the caller opted into narrowing
+        cast = jnp.float32
     acc = StatsAccumulator(
         K, M, dtype, compensated=compensated, x_storage=x_storage
     )

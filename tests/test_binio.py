@@ -123,6 +123,38 @@ class TestStreamingFitParity:
             np.asarray(acc.XX), np.asarray(ref.XX)
         )
 
+    def test_float16_on_disk_upcasts_not_narrows(self, tmp_path, files):
+        """ADVICE r04: a float16 .npy must NOT silently ride the bf16
+        path (that would drop f16 mantissa bits 10->7); it upcasts to
+        f32 on host instead."""
+        xp, yp, X, Y = files
+        xh = str(tmp_path / "xh.npy")
+        Xh = X.astype(np.float16)
+        write_npy_chunked(xh, [Xh])
+        acc = stats_from_npy(xh, yp, chunk_rows=128)
+        assert acc.x_storage is None  # narrow MXU path not taken
+        Xf = Xh.astype(np.float32)
+        ref = Xf.T @ Xf
+        # f32 accumulation-order differences only; bf16 rounding of the
+        # f16 values would show up at ~4e-3 relative
+        np.testing.assert_allclose(np.asarray(acc.XX), ref, rtol=1e-4,
+                                   atol=1e-3 * np.abs(ref).max())
+
+    def test_auto_chunk_rows_defaults(self):
+        from pls_tpu.utils.binio import auto_chunk_rows
+        import ml_dtypes
+
+        assert auto_chunk_rows(np.float32) == 16384
+        assert auto_chunk_rows(ml_dtypes.bfloat16) == 32768
+        assert auto_chunk_rows(np.float16) == 32768
+
+    def test_chunk_rows_none_resolves(self, files):
+        xp, yp, X, _ = files
+        acc = stats_from_npy(xp, yp)  # auto chunk size
+        np.testing.assert_allclose(
+            np.asarray(acc.XX), X.T @ X, rtol=1e-5
+        )
+
     def test_feeds_cv_from_stats(self, files):
         """The north-star CV wiring: stats from disk + block-downdate
         k-fold over re-streamed fold blocks."""
@@ -162,6 +194,23 @@ class TestReusedBuffers:
             )
         ]
         np.testing.assert_array_equal(np.concatenate(outs), X)
+
+    def test_pool_contract_two_further_yields(self, files):
+        """The r04-advisor race contract: with the 6-slot pool and the
+        reader's ≤3-chunk lead, a yielded chunk must stay intact until
+        TWO more chunks have been yielded (device_stream itself only
+        needs one — the in-flight transfer)."""
+        xp, _, X, _ = files
+        held: list[np.ndarray] = []
+        snaps: list[np.ndarray] = []
+        for c in stream_npy(xp, 50, reuse_buffers=True, threaded=True):
+            held.append(c)
+            snaps.append(c.copy())
+            if len(held) > 2:
+                # the chunk yielded 2 iterations ago must be unclobbered
+                np.testing.assert_array_equal(held[-3], snaps[-3])
+                held.pop(0)
+                snaps.pop(0)
 
     def test_cast_pool_values(self, files):
         xp, _, X, _ = files

@@ -87,10 +87,14 @@ from pls_tpu.cv.kfold import (
     cv_kfold,
     cv_kfold_downdate,
     cv_kfold_from_stats,
+    cv_kfold_onepass,
     cv_group,
+    fold_residual_chunk,
 )
 from pls_tpu.model import PLSModel
+from pls_tpu.models.kernel_dd import fit_dd, fit_from_stats_dd
 from pls_tpu.models.streaming import (
+    FoldStatsAccumulator,
     StatsAccumulator,
     collect_moments,
     fit_streaming,
@@ -139,7 +143,9 @@ from pls_tpu.utils.checkpoint import (
 )
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.utils.binio import (
+    cv_kfold_npy,
     fit_streaming_npy,
+    fold_stats_from_npy,
     npy_chunks,
     stats_from_npy,
     stream_npy,
@@ -308,6 +314,8 @@ __all__ = [
     "cv_kfold",
     "cv_kfold_downdate",
     "cv_kfold_from_stats",
+    "cv_kfold_npy",
+    "cv_kfold_onepass",
     "cv_group",
     "PLSModel",
     "read_matrix_file",
@@ -380,12 +388,17 @@ __all__ = [
     "scores_npls",
     "RecursivePLS",
     "fit_robust",
+    "FoldStatsAccumulator",
     "StatsAccumulator",
     "collect_moments",
     "fit_streaming",
     "fit_streaming_csv",
+    "fit_dd",
+    "fit_from_stats_dd",
     "fit_streaming_npy",
     "npy_chunks",
+    "fold_residual_chunk",
+    "fold_stats_from_npy",
     "stats_from_npy",
     "stream_npy",
     "write_npy_chunked",

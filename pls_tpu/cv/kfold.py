@@ -19,6 +19,8 @@ algorithms is a masked reduction, so folds are a pure batch axis
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -267,6 +269,131 @@ def cv_kfold_from_stats(
         outs.append(jax.block_until_ready(res))  # (Nf, A, M)
     errs = jnp.concatenate(outs, axis=0)
     return Residual(errors=jnp.transpose(errs, (2, 0, 1)), method="K-FOLD")
+
+
+@dataclass
+class KFoldOnePass:
+    """Result of the closed-form one-pass k-fold CV (cv_kfold_onepass).
+
+    press/mse/rmse: (M, A) numpy float64 matrices in the same layout the
+    validation summarizer produces (rows = Y variable, cols =
+    truncation) — PRESS assembled on host in f64 because it is a
+    difference of O(N)-sized terms (catastrophic cancellation in f32).
+    B: (k, A, K, M) per-fold, per-truncation coefficients (device) —
+    feed to the combined residual pass for per-row errors.
+    fits: the k per-fold PLSFit states.  nf: (k,) held-out row counts.
+    """
+
+    press: np.ndarray
+    mse: np.ndarray
+    rmse: np.ndarray
+    B: jnp.ndarray
+    fits: list
+    nf: np.ndarray
+
+    @property
+    def n_obs(self) -> int:
+        return int(self.nf.sum())
+
+
+def cv_kfold_onepass(fold_stats, A: int, *,
+                     power_iters: int | None = None,
+                     precision: str | None = "highest") -> KFoldOnePass:
+    """K-fold CV PRESS/MSE/RMSE with NO pass over the data at all —
+    everything comes from the per-fold sufficient statistics a single
+    streaming pass produced (models/streaming.FoldStatsAccumulator).
+
+    Per fold f: the training statistics are (XX − XXf, XY − XYf) (exact
+    — each row is in exactly one fold), the fold model is the X-free
+    kernel-2 component loop, and the held-out sum of squared residuals
+    at truncation c expands in the fold's own statistics:
+
+        PRESS_f(c)[m] = YYf[m,m] − 2·B_c[:,m]·XYf[:,m]
+                        + B_c[:,m]ᵀ XXf B_c[:,m]
+
+    The K-contractions run on device (f32, `precision`); the final
+    three-term combination — a small (A, M) object whose terms are
+    O(N_f) while their difference is the residual SSE — is assembled on
+    host in float64 so the cancellation costs no precision.  Total cost
+    beyond the stats pass: k fits of O(A·K²) plus k·A K²-matvecs;
+    nothing touches X.  Agreement with the residual-based
+    cv_kfold_from_stats is pinned to 1e-5 by tests/test_kfold.py.
+
+    Reference analogue: the per-fold refits + residual accumulation of
+    Model::cv_LSO (/root/reference/src/pls.cpp:512-549), collapsed into
+    statistics space.
+    """
+    from pls_tpu.models.kernel_pls import fit_from_stats
+    from pls_tpu.models.predict import coefficients_all_components
+
+    fs = fold_stats
+    k = int(fs.XXf.shape[0])
+    XX, XY = fs.XX, fs.XY
+
+    fits = []
+    Bs = []
+    press = np.zeros((A, fs.M), np.float64)
+    for f in range(k):
+        fit_f = fit_from_stats(
+            XX - fs.XXf[f], XY - fs.XYf[f], A,
+            power_iters=power_iters, precision=precision,
+        )
+        Bf = coefficients_all_components(fit_f)  # (A, K, M)
+        # device: the two K-contractions of the PRESS expansion
+        u = jnp.einsum("kl,alm->akm", fs.XXf[f], Bf,
+                       precision=jax.lax.Precision.HIGHEST)  # (A, K, M)
+        cross = jnp.einsum("akm,km->am", Bf, fs.XYf[f],
+                           precision=jax.lax.Precision.HIGHEST)
+        quad = jnp.sum(u * Bf, axis=1)  # (A, M)
+        # host f64: the cancelling combination
+        yy = np.diag(np.asarray(fs.YYf[f], np.float64))
+        press += (
+            yy[None, :]
+            - 2.0 * np.asarray(cross, np.float64)
+            + np.asarray(quad, np.float64)
+        )
+        fits.append(fit_f)
+        Bs.append(Bf)
+
+    nf = np.asarray(fs.nf)
+    n = float(nf.sum())
+    press_ma = press.T  # (M, A)
+    mse = press_ma / n
+    return KFoldOnePass(
+        press=press_ma, mse=mse, rmse=np.sqrt(mse),
+        B=jnp.stack(Bs), fits=fits, nf=nf,
+    )
+
+
+@jax.jit
+def fold_residual_chunk(B: jnp.ndarray, Xc: jnp.ndarray, Yc: jnp.ndarray,
+                        assign: jnp.ndarray) -> jnp.ndarray:
+    """Per-row CV residuals for ONE chunk under each row's own fold
+    model, at every truncation — the combined second pass of the
+    one-pass k-fold scheme (all folds applied in a single sweep, so the
+    whole CV needs 2 total passes over X instead of 1+k).
+
+    B: (k, A, K, M) per-fold per-truncation coefficients
+    (KFoldOnePass.B);  Xc (n, K);  Yc (n, M);  assign (n,) fold labels.
+    Returns (n, A, M) = Yc − Ŷ under fold assign[i]'s model.
+
+    Row i's prediction is selected by masking: Σ_f 1[assign=f]·(Xc B_f),
+    evaluated as a scan over folds with the mask folded into Xc — one
+    (n, K)×(K, A·M) matmul per fold, no (n, k, A, M) intermediate.
+    """
+    n = Xc.shape[0]
+    k, A, K, M = B.shape
+    Bmat = jnp.transpose(B, (0, 2, 1, 3)).reshape(k, K, A * M)
+    Xw = Xc.astype(Bmat.dtype)
+
+    def body(carry, f):
+        m = (assign == f).astype(Xw.dtype)
+        carry = carry + (Xw * m[:, None]) @ Bmat[f]
+        return carry, None
+
+    yh0 = jnp.zeros((n, A * M), Bmat.dtype)
+    yh, _ = jax.lax.scan(body, yh0, jnp.arange(k))
+    return Yc.astype(Bmat.dtype)[:, None, :] - yh.reshape(n, A, M)
 
 
 def cv_group(

@@ -92,6 +92,15 @@ def residuals_all_components(
     return Y_new[:, None, :] - fitted_cum
 
 
+def coefficients_all_components(fit: PLSFit) -> jnp.ndarray:
+    """Coefficients for EVERY truncation 1..A in one pass: (A, K, M)
+    with B(c) = Σ_{j<c} rⱼ qⱼᵀ at [c-1] (prefix sums of the rank-1
+    contributions; one A-fit serves every sub-model, reference
+    pls.cpp:444-447 + the sequential-components property)."""
+    contrib = fit.R.T[:, :, None] * fit.Q.T[:, None, :]  # (A, K, M)
+    return jnp.cumsum(contrib, axis=0)
+
+
 def vip(
     fit: PLSFit, X: jnp.ndarray | None = None, comp: int | None = None
 ) -> jnp.ndarray:

@@ -157,6 +157,145 @@ class StatsAccumulator:
         return fit_from_stats(self.XX, self.XY, A, **kw)
 
 
+@jax.jit
+def _update_folds(XXf, XYf, YYf, nf, Xc, Yc, assign):
+    """Per-fold sufficient-statistics update for ONE chunk.
+
+    For each fold f, the held-out block's cross-products are accumulated
+    via the one-sided-mask identity  Xfᵀ Xf = (Xc ⊙ m_f)ᵀ Xc  with
+    m_f ∈ {0,1} (idempotent diagonal), so only one operand is masked per
+    fold and the other streams from HBM once per fold.  A lax.scan over
+    folds keeps the masked operand a single (chunk, K) temporary.  Narrow
+    (bf16) chunks accumulate f32 via preferred_element_type, matching
+    StatsAccumulator's policy.
+    """
+    acc = XXf.dtype
+    k = XXf.shape[0]
+    narrow = Xc.dtype.itemsize < 4
+    Ycn = Yc.astype(Xc.dtype) if narrow else Yc.astype(acc)
+
+    def body(carry, f):
+        XXf, XYf, YYf, nf = carry
+        m = (assign == f).astype(Xc.dtype)
+        Xm = Xc * m[:, None]
+        if narrow:
+            xx = jax.lax.dot_general(
+                Xm, Xc, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            )
+            xy = jax.lax.dot_general(
+                Xm, Ycn, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            )
+        else:
+            xx = Xm.T @ Xc
+            xy = Xm.T @ Ycn
+        ma = m.astype(acc)
+        Ym = Yc.astype(acc) * ma[:, None]
+        yy = Ym.T @ Yc.astype(acc)
+        return (
+            XXf.at[f].add(xx),
+            XYf.at[f].add(xy),
+            YYf.at[f].add(yy),
+            nf.at[f].add(jnp.sum(ma).astype(nf.dtype)),
+        ), None
+
+    (XXf, XYf, YYf, nf), _ = jax.lax.scan(
+        body, (XXf, XYf, YYf, nf), jnp.arange(k)
+    )
+    return XXf, XYf, YYf, nf
+
+
+@dataclass
+class FoldStatsAccumulator:
+    """Per-fold sufficient statistics XXf = XfᵀXf, XYf = XfᵀYf,
+    YYf = YfᵀYf (+ row counts) accumulated in the SAME single streaming
+    pass as the global statistics — each row belongs to exactly one
+    fold, so the global XX/XY are the fold sums and come for free.
+
+    This is the engine of the one-pass k-fold CV (cv/kfold.py
+    cv_kfold_onepass): per-fold training statistics are
+    (XX − XXf, XY − XYf), and per-fold PRESS at every truncation is
+    closed-form from (XXf, XYf, YYf, Bf) — no second pass over the data
+    is needed for PRESS/MSE/RMSE, and only ONE combined residual pass
+    (all folds at once) for the per-row errors the Wilcoxon selector
+    consumes.  Contrast with re-streaming each fold's block
+    (cv_kfold_from_stats): k+1 passes → 2 passes.
+
+    Device memory: the fold accumulators are k·K² floats (k=10, K=10⁴
+    → 4 GB f32) — fits a 16 GB chip for the north-star shape; for much
+    larger k·K² fall back to cv_kfold_from_stats.  Per-chunk compute is
+    k masked matmuls (k× the plain accumulator); in IO-bound ingest
+    this stays hidden behind the disk/transfer stream.
+
+    x_storage="bf16": chunks stream the MXU narrow with f32
+    accumulators (StatsAccumulator policy).  Reference analogue: the
+    fold refits of Model::cv_LSO (/root/reference/src/pls.cpp:512-549),
+    restructured as statistics accumulated in the data pass."""
+
+    K: int
+    M: int
+    k: int
+    dtype: object = jnp.float32
+    x_storage: str | None = None
+    XXf: jax.Array = field(init=False)
+    XYf: jax.Array = field(init=False)
+    YYf: jax.Array = field(init=False)
+    nf: jax.Array = field(init=False)
+
+    def __post_init__(self):
+        if self.x_storage is not None and self.x_storage not in (
+            "bf16", "bfloat16",
+        ):
+            raise ValueError(f"unknown x_storage {self.x_storage!r} (use 'bf16')")
+        if self.k < 2:
+            raise ValueError(f"k={self.k} must be >= 2")
+        self.XXf = jnp.zeros((self.k, self.K, self.K), self.dtype)
+        self.XYf = jnp.zeros((self.k, self.K, self.M), self.dtype)
+        self.YYf = jnp.zeros((self.k, self.M, self.M), self.dtype)
+        self.nf = jnp.zeros((self.k,), jnp.int32)
+
+    def update(self, X_chunk, Y_chunk, assign_chunk) -> "FoldStatsAccumulator":
+        """Accumulate one (rows, K) chunk; assign_chunk is the (rows,)
+        fold label [0, k) of each row."""
+        if self.x_storage is not None:
+            X_chunk = jnp.asarray(X_chunk, jnp.bfloat16)
+        else:
+            X_chunk = jnp.asarray(X_chunk, self.dtype)
+        Y_chunk = jnp.asarray(Y_chunk)
+        if Y_chunk.ndim == 1:
+            Y_chunk = Y_chunk[:, None]
+        assign_chunk = jnp.asarray(assign_chunk, jnp.int32)
+        self.XXf, self.XYf, self.YYf, self.nf = _update_folds(
+            self.XXf, self.XYf, self.YYf, self.nf,
+            X_chunk, Y_chunk, assign_chunk,
+        )
+        return self
+
+    def merge(self, other: "FoldStatsAccumulator") -> "FoldStatsAccumulator":
+        """Combine partials from another shard/host (psum analogue)."""
+        self.XXf = self.XXf + other.XXf
+        self.XYf = self.XYf + other.XYf
+        self.YYf = self.YYf + other.YYf
+        self.nf = self.nf + other.nf
+        return self
+
+    @property
+    def XX(self) -> jax.Array:
+        """Global XᵀX = Σ_f XXf (each row is in exactly one fold)."""
+        return jnp.sum(self.XXf, axis=0)
+
+    @property
+    def XY(self) -> jax.Array:
+        return jnp.sum(self.XYf, axis=0)
+
+    @property
+    def n(self):
+        return jnp.sum(self.nf)
+
+    def fit(self, A: int, **kw) -> PLSFit:
+        """Full-data fit from the global statistics."""
+        return fit_from_stats(self.XX, self.XY, A, **kw)
+
+
 def _merge_moments(n, mean, m2, Xc):
     """Chan et al. parallel-variance merge of a chunk into running
     (count, mean, centered-sum-of-squares) — numerically stable at f32

@@ -440,3 +440,169 @@ def stats_from_npy(
         if sync_every and (i + 1) % sync_every == 0:
             jax.block_until_ready(acc.XX)
     return acc
+
+
+def _resolve_ingest(x_path: str, y_path: str, chunk_rows, x_storage,
+                    compensated: bool = False):
+    """Shared ingest-policy resolution (dtype gating + auto chunk size);
+    returns ((N, K), M, chunk_rows, cast, x_storage)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    (N, K), x_dtype = npy_shape(x_path)
+    shape_y, _ = npy_shape(y_path)
+    M = shape_y[1] if len(shape_y) == 2 else 1
+    if chunk_rows is None:
+        chunk_rows = auto_chunk_rows(x_dtype)
+    cast = jnp.bfloat16 if x_storage else None
+    if x_dtype == np.dtype(ml_dtypes.bfloat16):
+        cast = None
+        if x_storage is None and not compensated:
+            x_storage = "bf16"
+    elif x_dtype.itemsize < 4 and cast is None:
+        cast = jnp.float32
+    return (N, K), M, chunk_rows, cast, x_storage
+
+
+def fold_stats_from_npy(
+    x_path: str,
+    y_path: str,
+    assignments: np.ndarray,
+    k: int,
+    *,
+    chunk_rows: int | None = None,
+    x_storage: str | None = None,
+    dtype=None,
+    sync_every: int = 1,
+):
+    """ONE streaming pass over binary files → per-fold sufficient
+    statistics (models/streaming.FoldStatsAccumulator) — the data pass
+    of the one-pass k-fold CV.  Identical ingest policy to
+    stats_from_npy (threaded pread pool, device lookahead, bf16-on-disk
+    auto-narrow, auto chunk size); the global XX/XY come for free as
+    the fold sums.  `assignments` is the (N,) fold label of every row
+    (cv/kfold.kfold_assignments)."""
+    import jax
+
+    from pls_tpu.models.streaming import FoldStatsAccumulator
+
+    import jax.numpy as jnp
+
+    (N, K), M, chunk_rows, cast, x_storage = _resolve_ingest(
+        x_path, y_path, chunk_rows, x_storage
+    )
+    assignments = np.asarray(assignments, np.int32)
+    if assignments.shape != (N,):
+        raise ValueError(
+            f"assignments shape {assignments.shape} != ({N},)"
+        )
+    if dtype is None:
+        dtype = jnp.float32
+    acc = FoldStatsAccumulator(K, M, k, dtype, x_storage=x_storage)
+    xs = device_stream(
+        stream_npy(x_path, chunk_rows, threaded=True, reuse_buffers=True),
+        cast=cast,
+    )
+    ys = device_stream(stream_npy(y_path, chunk_rows, threaded=False), cast=cast)
+    start = 0
+    for i, (Xc, Yc) in enumerate(zip(xs, ys)):
+        rows = Xc.shape[0]
+        acc.update(Xc, Yc, assignments[start : start + rows])
+        start += rows
+        if sync_every and (i + 1) % sync_every == 0:
+            jax.block_until_ready(acc.XXf)
+    return acc
+
+
+def cv_kfold_npy(
+    x_path: str,
+    y_path: str,
+    A: int,
+    k: int = 10,
+    *,
+    key=0,
+    assignments: np.ndarray | None = None,
+    chunk_rows: int | None = None,
+    x_storage: str | None = None,
+    residual_pass: bool = True,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+    sync_every: int = 1,
+):
+    """K-fold cross-validation straight from .npy files in TWO total
+    passes over X — the scalable replacement for re-streaming each
+    fold's block (1 + k passes, cv_kfold_from_stats):
+
+      pass 1: per-fold XXf/XYf/YYf accumulated while the data streams
+              (fold_stats_from_npy); PRESS/MSE/RMSE then close in
+              statistics space with no further IO (cv_kfold_onepass);
+      pass 2 (residual_pass=True): ONE combined sweep applying each
+              row's own fold model at every truncation
+              (cv/kfold.fold_residual_chunk) → per-row errors for the
+              Wilcoxon optimal-component selector.
+
+    Returns (KFoldOnePass, Residual | None): the closed-form summary
+    and, when residual_pass, the (M, N, A) Residual (errors held as
+    host numpy — N-sized) feeding cv/validation unchanged.
+
+    Reference analogue: /root/reference/src/pls.cpp:512-549 (fold
+    refits) + 265-289 (the selector's need for per-row errors).  LSO
+    note: Monte-Carlo trials are not a partition, so the one-pass trick
+    does not apply; for disk-scale LSO run this with R different `key`s
+    (repeated k-fold, 2R passes) or use cv_lso_rowsharded in-memory.
+    """
+    import jax.numpy as jnp
+
+    from pls_tpu.cv.kfold import (
+        cv_kfold_onepass,
+        fold_residual_chunk,
+        kfold_assignments,
+    )
+    from pls_tpu.types import Residual
+
+    (N, K), _ = npy_shape(x_path)
+    if assignments is None:
+        assignments = np.asarray(kfold_assignments(N, k, key))
+    assignments = np.asarray(assignments, np.int32)
+
+    facc = fold_stats_from_npy(
+        x_path, y_path, assignments, k,
+        chunk_rows=chunk_rows, x_storage=x_storage, sync_every=sync_every,
+    )
+    summary = cv_kfold_onepass(
+        facc, A, power_iters=power_iters, precision=precision
+    )
+    if not residual_pass:
+        return summary, None
+
+    (N_, K_), M_, chunk_rows_, cast, _ = _resolve_ingest(
+        x_path, y_path, chunk_rows, x_storage
+    )
+    import jax
+
+    B = summary.B  # (k, A, K, M)
+    errs = np.empty((N, A, B.shape[3]), np.float32)
+    xs = device_stream(
+        stream_npy(x_path, chunk_rows_, threaded=True, reuse_buffers=True),
+        cast=cast,
+    )
+    ys = device_stream(stream_npy(y_path, chunk_rows_, threaded=False))
+    start = 0
+    for Xc, Yc in zip(xs, ys):
+        rows = Xc.shape[0]
+        if Yc.ndim == 1:
+            Yc = Yc[:, None]
+        e = fold_residual_chunk(
+            B, Xc, Yc, jnp.asarray(assignments[start : start + rows])
+        )
+        # device→host immediately: errors are the only N-sized object
+        errs[start : start + rows] = np.asarray(e)
+        start += rows
+    # errors stay host-resident numpy (N-sized — 800 MB at the north
+    # star); jnp ops convert lazily at use, and host-side summaries
+    # (PRESS sums, Wilcoxon ranks on CPU backend) need no transfer
+    res = Residual(
+        errors=np.ascontiguousarray(np.transpose(errs, (2, 0, 1))),
+        method=f"{k}-FOLD",
+    )
+    return summary, res

@@ -175,6 +175,69 @@ class TestStreamingFitParity:
         )
 
 
+class TestOnePassKFoldNpy:
+    """cv_kfold_npy: k-fold CV from disk in 2 total passes (VERDICT r04
+    #1), vs the 1+k-pass re-streaming path it replaces."""
+
+    def test_two_pass_cv_matches_restreaming_path(self, files):
+        from pls_tpu.cv.kfold import cv_kfold_from_stats, kfold_assignments
+        from pls_tpu.cv.validation import optimal_num_components, validation
+        from pls_tpu.utils.binio import cv_kfold_npy
+
+        xp, yp, X, Y = files
+        N = X.shape[0]
+        k, A = 5, 4
+        assign = np.asarray(kfold_assignments(N, k, key=9))
+        summary, res = cv_kfold_npy(
+            xp, yp, A, k=k, assignments=assign, chunk_rows=128)
+        # closed-form PRESS vs the residual-based re-streaming path
+        acc = stats_from_npy(xp, yp, chunk_rows=128)
+        order = np.concatenate([np.flatnonzero(assign == f) for f in range(k)])
+        folds = ((X[assign == f], Y[assign == f]) for f in range(k))
+        ref = cv_kfold_from_stats(acc.XX, acc.XY, folds, A)
+        press_ref = np.asarray(validation(ref)).astype(np.float64)
+        # this fixture is NOT z-scored: PRESS ~ 21 against Y energy
+        # ~ 8400, so f32 statistics noise amplifies ~400x through the
+        # cancellation — tolerance scales with the Y energy.  The strict
+        # 1e-5 relative pin on z-scored data (the pipeline regime) is
+        # tests/test_kfold.py::test_closed_form_press_matches_residual_based.
+        yy_energy = float(np.sum(Y.astype(np.float64) ** 2, axis=0).max())
+        np.testing.assert_allclose(
+            summary.press, press_ref, rtol=2e-4, atol=1e-5 * yy_energy)
+        # per-row errors agree too (re-order the concatenated reference)
+        errs_ref = np.asarray(ref.errors)[:, np.argsort(order), :]
+        np.testing.assert_allclose(
+            np.asarray(res.errors), errs_ref, rtol=1e-4, atol=1e-4)
+        # and the optimal-component picks coincide
+        np.testing.assert_array_equal(
+            np.asarray(optimal_num_components(res)),
+            np.asarray(optimal_num_components(ref)))
+
+    def test_press_only_skips_second_pass(self, files):
+        from pls_tpu.utils.binio import cv_kfold_npy
+
+        xp, yp, X, _ = files
+        summary, res = cv_kfold_npy(
+            xp, yp, 3, k=4, key=1, chunk_rows=200, residual_pass=False)
+        assert res is None
+        assert summary.press.shape == (2, 3)
+        assert summary.n_obs == X.shape[0]
+
+    def test_bf16_on_disk(self, tmp_path, files):
+        import ml_dtypes
+
+        from pls_tpu.utils.binio import cv_kfold_npy
+
+        xp, yp, X, Y = files
+        xb = str(tmp_path / "xb.npy")
+        write_npy_chunked(xb, [X.astype(ml_dtypes.bfloat16)])
+        s_b, _ = cv_kfold_npy(xb, yp, 3, k=4, key=2, chunk_rows=200,
+                              residual_pass=False)
+        s_f, _ = cv_kfold_npy(xp, yp, 3, k=4, key=2, chunk_rows=200,
+                              residual_pass=False)
+        np.testing.assert_allclose(s_b.press, s_f.press, rtol=5e-2)
+
+
 class TestReusedBuffers:
     def test_reuse_buffers_values_correct_when_consumed_inline(self, files):
         xp, _, X, _ = files

@@ -69,6 +69,108 @@ def test_kfold_validates_k(toy):
         cv_kfold(X, Y, 2, k=X.shape[0] + 1)
 
 
+class TestOnePassKFold:
+    """The closed-form one-pass k-fold scheme (VERDICT r04 #1): per-fold
+    statistics from one data pass, PRESS in statistics space, per-row
+    errors from one combined residual sweep."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(120, 16)).astype(np.float32)
+        Y = (X @ rng.normal(size=(16, 3)) + 0.3 * rng.normal(size=(120, 3))
+             ).astype(np.float32)
+        # z-score as the pipeline does
+        X = (X - X.mean(0)) / X.std(0, ddof=1)
+        Y = (Y - Y.mean(0)) / Y.std(0, ddof=1)
+        k = 5
+        assign = np.asarray(kfold_assignments(120, k, key=3))
+        return X.astype(np.float32), Y.astype(np.float32), k, assign
+
+    def _fold_stats(self, X, Y, k, assign, chunk=37, **kw):
+        from pls_tpu.models.streaming import FoldStatsAccumulator
+
+        acc = FoldStatsAccumulator(X.shape[1], Y.shape[1], k, **kw)
+        for s in range(0, X.shape[0], chunk):
+            acc.update(X[s:s + chunk], Y[s:s + chunk], assign[s:s + chunk])
+        return acc
+
+    def test_fold_stats_match_brute_force(self, data):
+        X, Y, k, assign = data
+        acc = self._fold_stats(X, Y, k, assign)
+        for f in range(k):
+            Xf, Yf = X[assign == f], Y[assign == f]
+            np.testing.assert_allclose(
+                np.asarray(acc.XXf[f]), Xf.T @ Xf, rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(acc.XYf[f]), Xf.T @ Yf, rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(acc.YYf[f]), Yf.T @ Yf, rtol=1e-5, atol=1e-4)
+            assert int(acc.nf[f]) == Xf.shape[0]
+        # global = fold sums
+        np.testing.assert_allclose(
+            np.asarray(acc.XX), X.T @ X, rtol=1e-5, atol=1e-4)
+        assert int(acc.n) == X.shape[0]
+
+    def test_fold_stats_merge(self, data):
+        X, Y, k, assign = data
+        whole = self._fold_stats(X, Y, k, assign)
+        h = X.shape[0] // 2
+        a = self._fold_stats(X[:h], Y[:h], k, assign[:h])
+        b = self._fold_stats(X[h:], Y[h:], k, assign[h:])
+        a.merge(b)
+        np.testing.assert_allclose(
+            np.asarray(a.XXf), np.asarray(whole.XXf), rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(a.nf), np.asarray(whole.nf))
+
+    def test_closed_form_press_matches_residual_based(self, data):
+        """The VERDICT done-criterion: agreement with the residual-based
+        path pinned to <= 1e-5 relative."""
+        from pls_tpu.cv.kfold import cv_kfold_downdate, cv_kfold_onepass
+
+        X, Y, k, assign = data
+        acc = self._fold_stats(X, Y, k, assign)
+        got = cv_kfold_onepass(acc, A=6)
+        ref = cv_kfold_downdate(
+            jnp.asarray(X), jnp.asarray(Y), 6, k=k, assignments=assign)
+        press_ref = np.asarray(validation(ref))  # (M, A) RESS sums
+        np.testing.assert_allclose(got.press, press_ref, rtol=1e-5)
+        np.testing.assert_allclose(
+            got.rmse, np.sqrt(press_ref / X.shape[0]), rtol=1e-5)
+
+    def test_residual_chunk_matches_cv_kfold(self, data):
+        from pls_tpu.cv.kfold import (
+            cv_kfold, cv_kfold_onepass, fold_residual_chunk)
+
+        X, Y, k, assign = data
+        acc = self._fold_stats(X, Y, k, assign)
+        summary = cv_kfold_onepass(acc, A=6)
+        errs = np.concatenate([
+            np.asarray(fold_residual_chunk(
+                summary.B, jnp.asarray(X[s:s + 50]), jnp.asarray(Y[s:s + 50]),
+                jnp.asarray(assign[s:s + 50])))
+            for s in range(0, X.shape[0], 50)
+        ])  # (N, A, M)
+        ref = cv_kfold(jnp.asarray(X), jnp.asarray(Y), 6, k=k,
+                       assignments=assign)
+        np.testing.assert_allclose(
+            np.transpose(errs, (2, 0, 1)), np.asarray(ref.errors),
+            rtol=1e-4, atol=1e-4)
+        # and the residual-sweep PRESS closes the loop with the
+        # closed-form one
+        press_sweep = np.sum(errs.astype(np.float64) ** 2, axis=0).T
+        np.testing.assert_allclose(summary.press, press_sweep, rtol=1e-5)
+
+    def test_bf16_storage_smoke(self, data):
+        from pls_tpu.cv.kfold import cv_kfold_onepass
+
+        X, Y, k, assign = data
+        acc = self._fold_stats(X, Y, k, assign, x_storage="bf16")
+        got = cv_kfold_onepass(acc, A=4)
+        ref = cv_kfold_onepass(self._fold_stats(X, Y, k, assign), A=4)
+        np.testing.assert_allclose(got.press, ref.press, rtol=3e-2)
+
+
 def test_group_cv_matches_manual(toy):
     X, Y = toy
     X = jnp.asarray(X)

@@ -173,6 +173,21 @@ def fit(
         X = X.astype(jnp.bfloat16)
 
     if method in (METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2):
+        if precision == "dd":
+            # full double-float escape hatch (models/kernel_dd.py):
+            # every per-component quantity AND the X contractions carry
+            # f32-pair precision — the complete MPFR analogue
+            if x_storage is not None:
+                raise ValueError(
+                    "precision='dd' carries full pair precision; "
+                    "x_storage='bf16' would defeat it"
+                )
+            from pls_tpu.models.kernel_dd import fit_dd
+
+            return fit_dd(
+                X, Y, A, type1=(method == METHOD.KERNEL_TYPE1),
+                power_iters=power_iters,
+            )
         if use_pallas is None or use_pallas == "auto":
             # Auto: select the fused kernel in "unroll" mode when it pays
             # off (decision table: auto_pallas_mode).  Inside a trace
@@ -427,7 +442,6 @@ def _kernel2_scan(matvec, XY, A, K, dtype, power_iters, precision) -> PLSFit:
     )
 
 
-@partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
 def fit_from_stats(
     XX: jnp.ndarray,
     XY: jnp.ndarray,
@@ -443,7 +457,29 @@ def fit_from_stats(
     the (possibly sharded) data, and the component loop never touches X.
     It is also the basis of the O(K²)-per-fold rank-1 LOO downdate
     (cv/loo.py): XXᵢ = XX − xᵢxᵢᵀ, XYᵢ = XY − xᵢyᵢᵀ.
+
+    precision="dd" runs the full double-float component loop
+    (models/kernel_dd.py) — pass pair statistics via
+    fit_from_stats_dd directly to keep the accumulator's lo parts.
     """
+    if precision == "dd":
+        from pls_tpu.models.kernel_dd import fit_from_stats_dd
+
+        return fit_from_stats_dd(XX, XY, A, power_iters=power_iters)
+    return _fit_from_stats_jit(
+        XX, XY, A, power_iters=power_iters, precision=precision
+    )
+
+
+@partial(jax.jit, static_argnames=("A", "power_iters", "precision"))
+def _fit_from_stats_jit(
+    XX: jnp.ndarray,
+    XY: jnp.ndarray,
+    A: int,
+    *,
+    power_iters: int | None = None,
+    precision: str | None = "highest",
+) -> PLSFit:
     return _kernel2_scan(
         lambda r: XX @ r, XY, A, XX.shape[0], XX.dtype, power_iters, precision
     )

@@ -189,3 +189,74 @@ def test_compensated_error_is_n_independent_at_scale():
     assert last["xx_err_comp"] < 1e-7
     # plain f32: error accumulates with chunk count
     assert last["xx_err_plain"] > 1.5 * first["xx_err_plain"]
+
+
+class TestDDVectorOps:
+    """The dd vector/matrix helpers behind the full double-float fit
+    (precision="dd") — each checked against float64 ground truth."""
+
+    def _pair(self, rng, shape):
+        v = rng.normal(size=shape)
+        hi = v.astype(np.float32)
+        lo = (v - hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(hi), jnp.asarray(lo), v
+
+    def test_div_sqrt(self):
+        from pls_tpu.ops.twofloat import dd_div, dd_sqrt
+
+        rng = np.random.default_rng(1)
+        xh, xl, x = self._pair(rng, (64,))
+        yh, yl, y = self._pair(rng, (64,))
+        y = np.abs(y) + 0.5
+        yh = jnp.abs(yh) + 0.5
+        qh, ql = dd_div(xh, xl, yh, yl * 0)
+        ref = x / np.asarray(yh, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(qh, np.float64) + np.asarray(ql, np.float64),
+            ref, rtol=1e-13)
+        sh, sl = dd_sqrt(jnp.abs(xh), xl * 0)
+        np.testing.assert_allclose(
+            np.asarray(sh, np.float64) + np.asarray(sl, np.float64),
+            np.sqrt(np.abs(np.asarray(xh, np.float64))), rtol=1e-13)
+
+    def test_reduce_matches_f64(self):
+        from pls_tpu.ops.twofloat import dd_reduce_sum
+
+        rng = np.random.default_rng(2)
+        xh, xl, x = self._pair(rng, (1000,))
+        h, l = dd_reduce_sum(xh, xl, axis=0)
+        ref = x.sum()
+        got = float(h) + float(l)
+        assert abs(got - ref) <= 1e-11 * abs(ref) + 1e-12
+
+    def test_matvec_exact_products(self):
+        from pls_tpu.ops.twofloat import dd_matvec, dd_matvec_t
+
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(37, 53)).astype(np.float32)
+        xh, xl, x = self._pair(rng, (53,))
+        vh, vl = dd_matvec(jnp.asarray(A), None, xh, xl)
+        ref = A.astype(np.float64) @ (
+            np.asarray(xh, np.float64) + np.asarray(xl, np.float64))
+        np.testing.assert_allclose(
+            np.asarray(vh, np.float64) + np.asarray(vl, np.float64),
+            ref, rtol=1e-12)
+        yh, ylo, y = self._pair(rng, (37,))
+        uh, ul = dd_matvec_t(jnp.asarray(A), None, yh, ylo)
+        ref_t = A.astype(np.float64).T @ (
+            np.asarray(yh, np.float64) + np.asarray(ylo, np.float64))
+        np.testing.assert_allclose(
+            np.asarray(uh, np.float64) + np.asarray(ul, np.float64),
+            ref_t, rtol=1e-12)
+
+    def test_cross_is_near_exact(self):
+        from pls_tpu.ops.twofloat import dd_cross
+
+        rng = np.random.default_rng(4)
+        X = rng.normal(size=(200, 17)).astype(np.float32)
+        Y = rng.normal(size=(200, 3)).astype(np.float32)
+        h, l = dd_cross(jnp.asarray(X), jnp.asarray(Y))
+        ref = X.astype(np.float64).T @ Y.astype(np.float64)
+        np.testing.assert_allclose(
+            np.asarray(h, np.float64) + np.asarray(l, np.float64),
+            ref, rtol=1e-12)

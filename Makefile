@@ -4,7 +4,7 @@
 # but for a Python/JAX project: build native bits, test, bench, regenerate
 # golden parity fixtures.
 
-.PHONY: native predictor test test-fast bench golden clean prewarm tpu-test ingest-bench
+.PHONY: native predictor test test-fast nan-check bench golden clean prewarm tpu-test ingest-bench
 
 native:
 	python setup.py build_ext --inplace
@@ -17,6 +17,12 @@ test:
 
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"
+
+# NaN-sanitizer pass: the whole fast suite under jax_debug_nans — every
+# jitted program re-checked for silent NaN production (utils/debug.py
+# provides the scoped context manager for library use).
+nan-check:
+	JAX_DEBUG_NANS=1 python -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	python bench.py

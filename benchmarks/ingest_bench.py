@@ -166,7 +166,7 @@ def main() -> int:
     ap.add_argument("--skip-disk-probe", action="store_true")
     ap.add_argument(
         "--phase", default="all",
-        choices=["probe", "stats", "cv", "kfold", "all"],
+        choices=["probe", "stats", "cv", "kfold", "kfold1p", "kfold2p", "all"],
         help="run one pipeline phase and exit — the tunnel-attached TPU "
              "runtime retains a host-side copy of every transferred "
              "buffer (leak measured at exactly chunk-size per transfer, "
@@ -263,6 +263,111 @@ def main() -> int:
             np.savez(stats_npz, XX=np.asarray(XXa), XY=np.asarray(XYa))
             log(f"stats saved to {stats_npz}")
             return _emit(out, args)
+
+    # ---- ONE-PASS k-fold CV (r05): per-fold statistics accumulated in
+    # the single data pass, closed-form PRESS, then ONE combined
+    # residual sweep — 2 total disk passes instead of 1+k.  Split into
+    # two phases/processes so each bounds the relay's per-transfer host
+    # retention to one pass of the file.
+    bstack_npz = os.path.join(
+        args.datadir, f"kfold1p_{N}x{K}_{args.dtype}_A{A}.npz"
+    )
+    if phase == "kfold1p":
+        from pls_tpu.cv.kfold import cv_kfold_onepass
+        from pls_tpu.utils.binio import fold_stats_from_npy
+
+        k = args.kfold or 10
+        # contiguous-block partition — the same fold boundaries the r04
+        # re-streaming benchmark used, so PRESS totals are comparable
+        assign = ((np.arange(N, dtype=np.int64) * k) // N).astype(np.int32)
+        cold = drop_caches()
+        t0 = time.perf_counter()
+        facc = fold_stats_from_npy(xp, yp, assign, k, chunk_rows=args.chunk)
+        jax.block_until_ready(facc.XXf)
+        t_fs = time.perf_counter() - t0
+        log(f"one-pass fold-stats ({'cold' if cold else 'WARM'}): {t_fs:.1f}s "
+            f"-> {x_gb / t_fs:.2f} GB/s of X")
+        t0 = time.perf_counter()
+        summary = cv_kfold_onepass(facc, A, power_iters=16, precision=None)
+        t_close = time.perf_counter() - t0
+        press_total = float(summary.press.sum())
+        log(f"closed-form PRESS ({k} folds x A={A}): {t_close:.1f}s; "
+            f"total PRESS={press_total:.1f}")
+        np.savez(
+            bstack_npz, B=np.asarray(summary.B), assign=assign,
+            press=summary.press, nf=summary.nf,
+        )
+        out["kfold1p_k"] = k
+        out["kfold1p_stats_sec"] = round(t_fs, 2)
+        out["kfold1p_close_sec"] = round(t_close, 2)
+        out["kfold1p_press_total"] = round(press_total, 1)
+        if "kfold_sec" in out:
+            out["kfold1p_speedup_vs_restream"] = round(
+                out["kfold_sec"] / (t_fs + t_close), 1
+            )
+        return _emit(out, args)
+
+    if phase == "kfold2p":
+        from pls_tpu.cv.kfold import fold_residual_chunk
+        from pls_tpu.utils.binio import device_stream
+
+        z = np.load(bstack_npz)
+        B = jax.device_put(jnp.asarray(z["B"]))
+        assign = z["assign"]
+        press_cf = z["press"]
+        k = B.shape[0]
+        cold = drop_caches()
+        t0 = time.perf_counter()
+        Mz = B.shape[3]
+        errs = np.empty((N, A, Mz), np.float32)
+        xs = device_stream(stream_npy(xp, args.chunk, reuse_buffers=True))
+        ys = device_stream(stream_npy(yp, args.chunk, threaded=False))
+        start = 0
+        for Xc, Yc in zip(xs, ys):
+            rows = Xc.shape[0]
+            e = fold_residual_chunk(
+                B, Xc, Yc, jnp.asarray(assign[start : start + rows])
+            )
+            errs[start : start + rows] = np.asarray(e)
+            start += rows
+        t_resid = time.perf_counter() - t0
+        log(f"combined residual pass ({'cold' if cold else 'WARM'}): "
+            f"{t_resid:.1f}s -> {x_gb / t_resid:.2f} GB/s of X")
+        # PRESS from per-row residuals must close the loop with the
+        # closed-form matrix (f64 host sums)
+        press_resid = np.einsum(
+            "nam,nam->am", errs.astype(np.float64), errs.astype(np.float64)
+        ).T  # (M, A)
+        rel = float(
+            np.abs(press_resid - press_cf).max() / np.abs(press_cf).max()
+        )
+        log(f"closed-form vs residual-sweep PRESS agreement: {rel:.2e}")
+        # Wilcoxon optimal components on host CPU devices (errors are
+        # host-resident; no reason to push 800 MB through the tunnel)
+        from pls_tpu.cv.validation import optimal_num_components
+        from pls_tpu.types import Residual
+
+        t0 = time.perf_counter()
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            opt = np.asarray(optimal_num_components(
+                Residual(errors=np.ascontiguousarray(
+                    np.transpose(errs, (2, 0, 1))), method=f"{k}-FOLD")
+            ))
+        t_opt = time.perf_counter() - t0
+        log(f"optimal components (Wilcoxon over {N} rows): {list(opt)} "
+            f"({t_opt:.1f}s, host)")
+        out["kfold2p_resid_sec"] = round(t_resid, 2)
+        out["kfold2p_press_agreement_rel"] = rel
+        out["kfold2p_optimal_components"] = [int(v) for v in opt]
+        out["kfold2p_wilcoxon_sec"] = round(t_opt, 2)
+        if "kfold1p_stats_sec" in out:
+            tot = out["kfold1p_stats_sec"] + out["kfold1p_close_sec"] + t_resid
+            out["kfold_onepass_total_sec"] = round(tot, 2)
+            if "kfold_sec" in out:
+                out["kfold_onepass_speedup_vs_restream"] = round(
+                    out["kfold_sec"] / tot, 1
+                )
+        return _emit(out, args)
 
     if phase in ("cv", "kfold") and XXa is None:
         z = np.load(stats_npz)

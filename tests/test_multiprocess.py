@@ -30,11 +30,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_fit_matches_single_process(tmp_path):
+@pytest.mark.parametrize("n", [2, 4])
+def test_multi_process_fit_and_streaming_stats(tmp_path, n):
+    """n-process cluster: process-spanning GSPMD + shard_map fits AND
+    the streaming-statistics merge dataflow (per-process partials over
+    disjoint row ranges, cluster-wide gather + merge) — the actual
+    multi-host north-star path (VERDICT r04 #5)."""
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "multiprocess_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
-    n = 2
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

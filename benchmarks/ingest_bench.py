@@ -280,6 +280,24 @@ def main() -> int:
         # contiguous-block partition — the same fold boundaries the r04
         # re-streaming benchmark used, so PRESS totals are comparable
         assign = ((np.arange(N, dtype=np.int64) * k) // N).astype(np.int32)
+        # pre-compile the fold-update program outside the timed pass
+        from pls_tpu.models.streaming import FoldStatsAccumulator
+
+        (_, _), xdt = npy_shape(xp)
+        narrow = xdt.itemsize < 4
+        warm = FoldStatsAccumulator(
+            K, M, k, x_storage="bf16" if narrow else None
+        )
+        wdt = np.float32 if not narrow else xdt
+        warm_rows = [args.chunk] + ([N % args.chunk] if N % args.chunk else [])
+        for r in warm_rows:
+            warm.update(
+                np.zeros((r, K), wdt), np.zeros((r, M), np.float32),
+                np.zeros((r,), np.int32),
+            )
+        jax.block_until_ready(warm.XXf)
+        del warm
+        log("fold-update program warm")
         cold = drop_caches()
         t0 = time.perf_counter()
         facc = fold_stats_from_npy(xp, yp, assign, k, chunk_rows=args.chunk)
@@ -316,9 +334,19 @@ def main() -> int:
         assign = z["assign"]
         press_cf = z["press"]
         k = B.shape[0]
+        Mz = B.shape[3]
+        # pre-compile the residual-chunk program outside the timed pass
+        (_, _), xdt = npy_shape(xp)
+        xdt_j = jnp.bfloat16 if xdt.itemsize < 4 else jnp.float32
+        for r in [args.chunk] + ([N % args.chunk] if N % args.chunk else []):
+            jax.block_until_ready(fold_residual_chunk(
+                B, jnp.zeros((r, K), xdt_j),
+                jnp.zeros((r, Mz), jnp.float32),
+                jnp.zeros((r,), jnp.int32),
+            ))
+        log("residual-chunk program warm")
         cold = drop_caches()
         t0 = time.perf_counter()
-        Mz = B.shape[3]
         errs = np.empty((N, A, Mz), np.float32)
         xs = device_stream(stream_npy(xp, args.chunk, reuse_buffers=True))
         ys = device_stream(stream_npy(yp, args.chunk, threaded=False))

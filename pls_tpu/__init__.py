@@ -51,6 +51,7 @@ from pls_tpu.models.predict import (
     loadings_x,
     loadings_y,
     coefficients,
+    coefficients_all_components,
     fitted_values,
     residuals,
     sse,
@@ -262,7 +263,7 @@ from pls_tpu.models.diagnostics import (
     x_residuals,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "METHOD",
@@ -287,6 +288,7 @@ __all__ = [
     "loadings_x",
     "loadings_y",
     "coefficients",
+    "coefficients_all_components",
     "fitted_values",
     "residuals",
     "sse",

@@ -70,9 +70,10 @@ class TestDebug:
     def test_debug_nans_context(self):
         import jax
 
+        prior = jax.config.jax_debug_nans  # may be True under `make nan-check`
         with debug_nans():
             assert jax.config.jax_debug_nans
-        assert not jax.config.jax_debug_nans
+        assert jax.config.jax_debug_nans == prior  # restores, not clears
 
     def test_fit_health(self, toy):
         X, Y = toy

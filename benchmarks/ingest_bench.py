@@ -298,8 +298,14 @@ def main() -> int:
                 np.zeros((r,), np.int32),
             )
         jax.block_until_ready(warm.XXf)
-        del warm
-        log("fold-update program warm")
+        # compile the batched closed-form program too (zeros stats give
+        # NaN press — only the compile matters here)
+        from pls_tpu.cv.kfold import cv_kfold_onepass as _ckop
+
+        t0 = time.perf_counter()
+        _ = _ckop(warm, A, power_iters=16, precision=None)
+        log(f"closed-form program warm ({time.perf_counter()-t0:.1f}s)")
+        del warm, _
         cold = drop_caches()
         t0 = time.perf_counter()
         facc = fold_stats_from_npy(xp, yp, assign, k, chunk_rows=args.chunk)
@@ -307,54 +313,47 @@ def main() -> int:
         t_fs = time.perf_counter() - t0
         log(f"one-pass fold-stats ({'cold' if cold else 'WARM'}): {t_fs:.1f}s "
             f"-> {x_gb / t_fs:.2f} GB/s of X")
-        # persist the fold statistics; the closed form runs at the START
-        # of the pass-2 process — measured: the relay's retained buffers
-        # from a 20 GB pass degrade subsequent device round-trips ~300×
-        # (73 s/fold here vs 0.2 s/fold in a clean process), so K-space
-        # work moves off the post-streaming process entirely
-        t0 = time.perf_counter()
-        np.save(foldstats_prefix + "_XXf.npy", np.asarray(facc.XXf))
-        np.savez(
-            foldstats_prefix + "_small.npz", XYf=np.asarray(facc.XYf),
-            YYf=np.asarray(facc.YYf), nf=np.asarray(facc.nf), assign=assign,
-        )
-        t_save = time.perf_counter() - t0
-        log(f"fold-stats persisted ({k}x{K}x{K} f32): {t_save:.1f}s")
-        out["kfold1p_k"] = k
-        out["kfold1p_stats_sec"] = round(t_fs, 2)
-        out["kfold1p_save_sec"] = round(t_save, 2)
-        return _emit(out, args)
+        # the ENTIRE closed form is one device program (lax.map over
+        # folds) + small pulls — the relay's retained buffers from the
+        # 20 GB pass degrade per-ROUND-TRIP latency ~10-100×, so round
+        # trips, not flops, are what must be minimized here
+        from pls_tpu.cv.kfold import cv_kfold_onepass
 
-    if phase == "kfold2p":
-        from pls_tpu.cv.kfold import cv_kfold_onepass, fold_residual_chunk
-        from pls_tpu.models.streaming import FoldStatsAccumulator
-        from pls_tpu.utils.binio import device_stream
-
-        zs = np.load(foldstats_prefix + "_small.npz")
-        assign = zs["assign"]
-        k = int(zs["nf"].shape[0])
-        t0 = time.perf_counter()
-        facc = FoldStatsAccumulator(K, M, k)
-        facc.XXf = jax.device_put(
-            jnp.asarray(np.load(foldstats_prefix + "_XXf.npy"))
-        )
-        facc.XYf = jax.device_put(jnp.asarray(zs["XYf"]))
-        facc.YYf = jax.device_put(jnp.asarray(zs["YYf"]))
-        facc.nf = jax.device_put(jnp.asarray(zs["nf"]))
-        jax.block_until_ready(facc.XXf)
-        t_load = time.perf_counter() - t0
-        log(f"fold-stats loaded + device-put: {t_load:.1f}s")
         t0 = time.perf_counter()
         summary = cv_kfold_onepass(facc, A, power_iters=16, precision=None)
         t_close = time.perf_counter() - t0
         press_total = float(summary.press.sum())
-        log(f"closed-form PRESS ({k} folds x A={A}): {t_close:.1f}s; "
-            f"total PRESS={press_total:.1f}")
-        out["kfold2p_load_sec"] = round(t_load, 2)
+        log(f"closed-form PRESS ({k} folds x A={A}, one program): "
+            f"{t_close:.1f}s; total PRESS={press_total:.1f}")
+        t0 = time.perf_counter()
+        np.save(bstack_npz.replace(".npz", "_B.npy"), np.asarray(summary.B))
+        np.savez(bstack_npz, assign=assign, press=summary.press,
+                 nf=summary.nf)
+        t_save = time.perf_counter() - t0
+        log(f"B stack + press persisted: {t_save:.1f}s")
+        out["kfold1p_k"] = k
+        out["kfold1p_stats_sec"] = round(t_fs, 2)
         out["kfold1p_close_sec"] = round(t_close, 2)
         out["kfold1p_press_total"] = round(press_total, 1)
-        B = summary.B  # (k, A, K, M), on device
-        press_cf = summary.press
+        out["kfold1p_save_sec"] = round(t_save, 2)
+        return _emit(out, args)
+
+    if phase == "kfold2p":
+        from pls_tpu.cv.kfold import fold_residual_chunk
+        from pls_tpu.utils.binio import device_stream
+
+        zs = np.load(bstack_npz)
+        assign = zs["assign"]
+        press_cf = zs["press"]
+        t0 = time.perf_counter()
+        B = jax.device_put(
+            jnp.asarray(np.load(bstack_npz.replace(".npz", "_B.npy")))
+        )
+        jax.block_until_ready(B)
+        t_load = time.perf_counter() - t0
+        log(f"B stack loaded + device-put: {t_load:.1f}s")
+        out["kfold2p_load_sec"] = round(t_load, 2)
+        k = B.shape[0]
         Mz = B.shape[3]
         # pre-compile the residual-chunk program outside the timed pass
         (_, _), xdt = npy_shape(xp)

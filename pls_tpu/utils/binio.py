@@ -142,9 +142,14 @@ def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
     return n, K
 
 
+# O_DIRECT alignment: logical-block multiple for offset/length/buffer.
+# 4096 covers every common config (512e/4Kn disks, ext4/xfs).
+_DIRECT_ALIGN = 4096
+
+
 def stream_npy(
     path: str, chunk_rows: int, *, threaded: bool = True,
-    reuse_buffers: bool = False,
+    reuse_buffers: bool = False, direct: bool | None = None,
 ):
     """Yield (rows ≤ chunk_rows, K) C-contiguous blocks of a 2-D .npy.
 
@@ -169,6 +174,18 @@ def stream_npy(
     the reader clobber a chunk whose transfer is still in flight
     whenever disk outpaces the transfer link (the r04 advisor race).
     Use the default for consumers that retain chunks longer.
+
+    direct=None (auto, default) uses O_DIRECT reads when
+    reuse_buffers=True and the filesystem supports it — DMA straight
+    into the (page-aligned mmap) pool slots, bypassing the page cache.
+    Measured on this VM class: the buffered path tops out at
+    ~0.1-0.19 GB/s (the kernel's page-cache copy on a 2-vCPU host, NOT
+    the device), while O_DIRECT sustains ~1 GB/s from the same disk —
+    the difference between "disk-bound" and "tunnel-bound" ingest.
+    Each chunk's byte span is widened to 4096-byte-aligned bounds (the
+    yielded array is a zero-copy view at the true offset) and the
+    file's final partial block falls back to one small buffered read.
+    direct=True forces it (raises if the open fails); False disables.
     """
     shape, dtype, off, fortran = _npy_layout(path)
     if len(shape) != 2:
@@ -179,17 +196,53 @@ def stream_npy(
         raise ValueError("chunk_rows must be positive")
     N, K = shape
     row_bytes = K * dtype.itemsize
+    fsize = os.path.getsize(path)
 
-    pool: list[bytearray] | None = None
+    fd_direct = -1
+    if reuse_buffers and direct is not False:
+        try:
+            fd_direct = os.open(path, os.O_RDONLY | os.O_DIRECT)
+        except OSError:
+            if direct:
+                raise
+            fd_direct = -1
+
+    pool: list | None = None
     if reuse_buffers:
-        pool = [bytearray(chunk_rows * row_bytes) for _ in range(_POOL_SLOTS)]
+        import mmap as _mmap
+
+        # page-aligned slots (mmap) so O_DIRECT DMA targets are valid;
+        # +2 blocks of slack for the span widening on both ends
+        slot_bytes = chunk_rows * row_bytes + 2 * _DIRECT_ALIGN
+        pool = [_mmap.mmap(-1, slot_bytes) for _ in range(_POOL_SLOTS)]
 
     def read_chunk(fd: int, idx: int, start: int) -> np.ndarray:
         rows = min(chunk_rows, N - start)
         nbytes = rows * row_bytes
         pos = off + start * row_bytes
         if pool is not None:
-            mv = memoryview(pool[idx % _POOL_SLOTS])[:nbytes]
+            slot = pool[idx % _POOL_SLOTS]
+            if fd_direct >= 0:
+                # widen to aligned bounds; DMA the aligned span, then
+                # buffered-read any unaligned tail at EOF
+                astart = pos - (pos % _DIRECT_ALIGN)
+                want_end = pos + nbytes
+                aend = min(
+                    -(-want_end // _DIRECT_ALIGN) * _DIRECT_ALIGN,
+                    fsize - (fsize % _DIRECT_ALIGN),
+                )
+                aend = max(aend, astart)
+                mv = memoryview(slot)
+                if aend > astart:
+                    _pread_into(fd_direct, mv[: aend - astart], astart)
+                if aend < want_end:  # file tail past the last full block
+                    _pread_into(
+                        fd, mv[aend - astart : want_end - astart], aend
+                    )
+                return np.frombuffer(
+                    mv, dtype=dtype, count=rows * K, offset=pos - astart
+                ).reshape(rows, K)
+            mv = memoryview(slot)[:nbytes]
             _pread_into(fd, mv, pos)
             return np.frombuffer(mv, dtype=dtype).reshape(rows, K)
         return np.frombuffer(
@@ -203,6 +256,8 @@ def stream_npy(
                 yield read_chunk(fd, idx, start)
         finally:
             os.close(fd)
+            if fd_direct >= 0:
+                os.close(fd_direct)
         return
 
     q: queue.Queue = queue.Queue(maxsize=2)
@@ -220,6 +275,8 @@ def stream_npy(
             q.put(e)
         finally:
             os.close(fd)
+            if fd_direct >= 0:
+                os.close(fd_direct)
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()

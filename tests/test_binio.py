@@ -275,6 +275,31 @@ class TestReusedBuffers:
                 held.pop(0)
                 snaps.pop(0)
 
+    def test_direct_io_odd_sizes_match_buffered(self, tmp_path):
+        """O_DIRECT path: unaligned data offset (npy header), chunk
+        spans that straddle 4096-byte blocks, and a file whose byte
+        length is NOT a block multiple (EOF tail via the buffered
+        fallback) must all yield exact values."""
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(101, 37)).astype(np.float32)  # 148-B rows
+        p = str(tmp_path / "odd.npy")
+        write_npy_chunked(p, [X])
+        import os
+
+        assert os.path.getsize(p) % 4096 != 0  # the case under test
+        for chunk in (7, 33, 101):
+            got = np.concatenate([
+                c.copy() for c in stream_npy(
+                    p, chunk, reuse_buffers=True, direct=True)
+            ])
+            np.testing.assert_array_equal(got, X)
+        # explicit opt-out still works
+        got = np.concatenate([
+            c.copy() for c in stream_npy(
+                p, 33, reuse_buffers=True, direct=False)
+        ])
+        np.testing.assert_array_equal(got, X)
+
     def test_cast_pool_values(self, files):
         xp, _, X, _ = files
         outs = [

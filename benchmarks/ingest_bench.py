@@ -293,9 +293,15 @@ def main() -> int:
         wdt = np.float32 if not narrow else xdt
         warm_rows = [args.chunk] + ([N % args.chunk] if N % args.chunk else [])
         for r in warm_rows:
+            # uniform assign -> single-fold fast path; alternating ->
+            # the masked scan (boundary chunks) — compile BOTH
             warm.update(
                 np.zeros((r, K), wdt), np.zeros((r, M), np.float32),
                 np.zeros((r,), np.int32),
+            )
+            warm.update(
+                np.zeros((r, K), wdt), np.zeros((r, M), np.float32),
+                (np.arange(r) % k).astype(np.int32),
             )
         jax.block_until_ready(warm.XXf)
         # compile the batched closed-form program too (zeros stats give

@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pls_tpu.models.kernel_pls import fit_from_stats
 from pls_tpu.types import PLSFit
@@ -204,6 +205,38 @@ def _update_folds(XXf, XYf, YYf, nf, Xc, Yc, assign):
     return XXf, XYf, YYf, nf
 
 
+@jax.jit
+def _update_single_fold(XXf, XYf, YYf, nf, Xc, Yc, f):
+    """Fast path when EVERY row of the chunk belongs to fold `f` (a
+    traced scalar, so one compiled program serves all folds): one plain
+    Gram update scattered into the fold slot — 1× flops instead of the
+    masked scan's k×.  With contiguous partitions and fold sizes ≫
+    chunk size, almost every chunk takes this path, so the per-chunk
+    compute matches the plain StatsAccumulator and stays hidden under
+    even NVMe-speed ingest."""
+    acc = XXf.dtype
+    narrow = Xc.dtype.itemsize < 4
+    Ycn = Yc.astype(Xc.dtype) if narrow else Yc.astype(acc)
+    if narrow:
+        xx = jax.lax.dot_general(
+            Xc, Xc, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        xy = jax.lax.dot_general(
+            Xc, Ycn, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )
+    else:
+        xx = Xc.T @ Xc
+        xy = Xc.T @ Ycn
+    Ya = Yc.astype(acc)
+    yy = Ya.T @ Ya
+    return (
+        XXf.at[f].add(xx),
+        XYf.at[f].add(xy),
+        YYf.at[f].add(yy),
+        nf.at[f].add(jnp.int32(Xc.shape[0])),
+    )
+
+
 @dataclass
 class FoldStatsAccumulator:
     """Per-fold sufficient statistics XXf = XfᵀXf, XYf = XfᵀYf,
@@ -255,7 +288,10 @@ class FoldStatsAccumulator:
 
     def update(self, X_chunk, Y_chunk, assign_chunk) -> "FoldStatsAccumulator":
         """Accumulate one (rows, K) chunk; assign_chunk is the (rows,)
-        fold label [0, k) of each row."""
+        fold label [0, k) of each row.  Chunks whose rows all share one
+        fold (common with contiguous partitions) take a 1×-flops fast
+        path (_update_single_fold); mixed chunks take the k-fold masked
+        scan."""
         if self.x_storage is not None:
             X_chunk = jnp.asarray(X_chunk, jnp.bfloat16)
         else:
@@ -263,6 +299,13 @@ class FoldStatsAccumulator:
         Y_chunk = jnp.asarray(Y_chunk)
         if Y_chunk.ndim == 1:
             Y_chunk = Y_chunk[:, None]
+        a_np = np.asarray(assign_chunk)
+        if a_np.size and a_np.min() == a_np.max():
+            self.XXf, self.XYf, self.YYf, self.nf = _update_single_fold(
+                self.XXf, self.XYf, self.YYf, self.nf,
+                X_chunk, Y_chunk, jnp.int32(a_np[0]),
+            )
+            return self
         assign_chunk = jnp.asarray(assign_chunk, jnp.int32)
         self.XXf, self.XYf, self.YYf, self.nf = _update_folds(
             self.XXf, self.XYf, self.YYf, self.nf,

@@ -112,6 +112,19 @@ class TestOnePassKFold:
             np.asarray(acc.XX), X.T @ X, rtol=1e-5, atol=1e-4)
         assert int(acc.n) == X.shape[0]
 
+    def test_single_fold_fast_path_matches_masked(self, data):
+        """Chunks whose rows all share a fold take the 1x-flops update;
+        results must equal the masked-scan path exactly."""
+        X, Y, k, _ = data
+        # contiguous partition -> most chunks uniform, boundaries mixed
+        assign = (np.arange(X.shape[0]) * k // X.shape[0]).astype(np.int32)
+        fast = self._fold_stats(X, Y, k, assign, chunk=24)  # uniform chunks
+        ref = self._fold_stats(X, Y, k, assign, chunk=X.shape[0])  # one mixed
+        np.testing.assert_allclose(
+            np.asarray(fast.XXf), np.asarray(ref.XXf), rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(fast.nf), np.asarray(ref.nf))
+
     def test_fold_stats_merge(self, data):
         X, Y, k, assign = data
         whole = self._fold_stats(X, Y, k, assign)

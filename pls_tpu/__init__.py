@@ -145,6 +145,7 @@ from pls_tpu.utils.checkpoint import (
 from pls_tpu.utils.io import read_matrix_file, stream_matrix_file
 from pls_tpu.utils.binio import (
     cv_kfold_npy,
+    cv_repeated_kfold_npy,
     fit_streaming_npy,
     fold_stats_from_npy,
     npy_chunks,
@@ -317,6 +318,7 @@ __all__ = [
     "cv_kfold_downdate",
     "cv_kfold_from_stats",
     "cv_kfold_npy",
+    "cv_repeated_kfold_npy",
     "cv_kfold_onepass",
     "cv_group",
     "PLSModel",

@@ -55,9 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="working precision (default: float64 on CPU, float32 on TPU)",
     )
     p.add_argument(
-        "--cv", choices=["both", "loo", "lso", "none"], default="both",
-        help="which cross-validations to run (default: both, like the "
-        "reference CLI)",
+        "--cv", choices=["both", "loo", "lso", "kfold", "all", "none"],
+        default="both",
+        help="which cross-validations to run (default: both = loo+lso, "
+        "like the reference CLI; kfold is a framework extension, "
+        "all = loo+lso+kfold)",
+    )
+    p.add_argument(
+        "--kfold-k", type=int, default=10,
+        help="folds for --cv kfold/all (default 10)",
     )
     p.add_argument("--lso-frac", type=float, default=0.3)
     p.add_argument(
@@ -125,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
     from pls_tpu.utils.io import RaggedMatrixError
 
     cv = {
-        "both": ("loo", "lso"), "loo": ("loo",), "lso": ("lso",), "none": (),
+        "both": ("loo", "lso"), "loo": ("loo",), "lso": ("lso",),
+        "kfold": ("kfold",), "all": ("loo", "lso", "kfold"), "none": (),
     }[args.cv]
     cfg = PLSRunConfig(
         x_file=args.x_file,
@@ -139,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         cv=cv,
         lso_fraction=args.lso_frac,
         lso_trials=args.lso_trials,
+        kfold_k=args.kfold_k,
         rng=args.rng,
         seed=args.seed,
         alpha=args.alpha,

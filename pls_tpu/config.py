@@ -22,9 +22,10 @@ class PLSRunConfig:
     num_components: int
     method: METHOD = KERNEL_TYPE1
     dtype: str | None = None  # None = float64 on CPU, float32 on TPU
-    cv: tuple[str, ...] = ("loo", "lso")  # subset of {"loo", "lso"}
+    cv: tuple[str, ...] = ("loo", "lso")  # subset of {"loo", "lso", "kfold"}
     lso_fraction: float = 0.3
     lso_trials: int | None = None  # None = 10 * n_rows (main.cpp:40)
+    kfold_k: int = 10  # folds for --cv kfold (framework extension)
     rng: str = "gcc"  # "gcc" = bit-exact reference partitions | "jax"
     seed: int | None = None  # None = 5489 (gcc) / 0 (jax)
     alpha: float = 0.1  # Wilcoxon selector level (pls.h:152)
@@ -107,6 +108,16 @@ def run_pipeline(cfg: PLSRunConfig, *, file=None) -> dict:
         report["lso_rmse"] = np.sqrt(np.asarray(validation(lso, MSE))).tolist()
         report["lso_optimal_components"] = np.asarray(
             optimal_num_components(lso, cfg.alpha)
+        ).tolist()
+
+    if "kfold" in cfg.cv:
+        seed = cfg.seed if cfg.seed is not None else 0
+        kf = model.cv_KFOLD(cfg.kfold_k, key=seed)
+        print_validation(kf, MSE, file=file, alpha=cfg.alpha)
+        report["kfold_k"] = cfg.kfold_k
+        report["kfold_rmse"] = np.sqrt(np.asarray(validation(kf, MSE))).tolist()
+        report["kfold_optimal_components"] = np.asarray(
+            optimal_num_components(kf, cfg.alpha)
         ).tolist()
 
     if cfg.json_out:

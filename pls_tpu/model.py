@@ -223,6 +223,37 @@ class PLSModel:
     def cv_NEW_DATA(self, X_new, Y_new) -> Residual:
         return cv_new_data(self._fit, X_new, Y_new)
 
+    def cv_KFOLD(
+        self,
+        k: int = 10,
+        *,
+        key=0,
+        assignments=None,
+        downdate: bool = True,
+        batch_size: int | None = None,
+    ) -> Residual:
+        """K-fold CV (framework extension — the reference ships only
+        LOO / LSO / new-data, /root/reference/src/pls.cpp:469-549).
+        downdate=True (default, kernel methods) refits each fold from
+        block-downdated XᵀX/XᵀY — O(K²·A + Nf·K·A) per fold; False
+        runs brute-force masked refits with the model's own method."""
+        self._require_data()
+        from pls_tpu.cv.kfold import cv_kfold, cv_kfold_downdate
+
+        if downdate and self._method in (
+            METHOD.KERNEL_TYPE1, METHOD.KERNEL_TYPE2,
+        ):
+            return cv_kfold_downdate(
+                self._X, self._Y, self.A, k=k, key=key,
+                assignments=assignments, batch_size=batch_size,
+                power_iters=self._power_iters, precision=self._precision,
+            )
+        return cv_kfold(
+            self._X, self._Y, self.A, k=k, method=self._method, key=key,
+            assignments=assignments, batch_size=batch_size,
+            power_iters=self._power_iters, precision=self._precision,
+        )
+
     def cv_LSO(
         self,
         test_fraction: float,

@@ -663,3 +663,50 @@ def cv_kfold_npy(
         method=f"{k}-FOLD",
     )
     return summary, res
+
+
+def cv_repeated_kfold_npy(
+    x_path: str,
+    y_path: str,
+    A: int,
+    k: int = 10,
+    repeats: int = 5,
+    *,
+    key=0,
+    residual_pass: bool = False,
+    **kw,
+):
+    """Repeated k-fold from disk — the disk-scale Monte-Carlo CV.
+
+    The reference's LSO draws `trials` independent shuffle-splits
+    (/root/reference/src/pls.cpp:512-549), which cannot ride the
+    one-pass fold-statistics trick (trials are not a partition).  The
+    scalable equivalent is R independent balanced k-fold partitions:
+    each repeat is one (or two, with residual_pass) disk passes via
+    cv_kfold_npy, so the whole sweep costs R·(1..2) passes instead of
+    trials+1 — and every row is held out exactly R times, giving the
+    same variance-reduction role as LSO replicates.
+
+    Returns (press_mean, rmse_mean, runs): the (M, A) float64 PRESS and
+    RMSE averaged over repeats, plus the per-repeat
+    [(KFoldOnePass, Residual|None), ...] for dispersion estimates.
+    """
+    import jax
+
+    if repeats < 1:
+        raise ValueError("repeats must be >= 1")
+    base = jax.random.key(key) if isinstance(key, int) else key
+    runs = []
+    press_sum = None
+    for r in range(repeats):
+        sub = jax.random.fold_in(base, r)
+        s, res = cv_kfold_npy(
+            x_path, y_path, A, k=k, key=sub,
+            residual_pass=residual_pass, **kw,
+        )
+        runs.append((s, res))
+        press_sum = s.press if press_sum is None else press_sum + s.press
+    press_mean = press_sum / repeats
+    n = runs[0][0].nf.sum()
+    rmse_mean = np.sqrt(press_mean / float(n))
+    return press_mean, rmse_mean, runs

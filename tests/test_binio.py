@@ -223,6 +223,20 @@ class TestOnePassKFoldNpy:
         assert summary.press.shape == (2, 3)
         assert summary.n_obs == X.shape[0]
 
+    def test_repeated_kfold(self, files):
+        from pls_tpu.utils.binio import cv_kfold_npy, cv_repeated_kfold_npy
+
+        xp, yp, X, _ = files
+        press, rmse, runs = cv_repeated_kfold_npy(
+            xp, yp, 3, k=4, repeats=2, key=5, chunk_rows=200)
+        assert press.shape == (2, 3) and rmse.shape == (2, 3)
+        assert len(runs) == 2 and runs[0][1] is None
+        # the average is the mean of the per-repeat PRESS matrices
+        manual = (runs[0][0].press + runs[1][0].press) / 2
+        np.testing.assert_allclose(press, manual)
+        # distinct partitions per repeat (folds differ -> press differs)
+        assert not np.allclose(runs[0][0].press, runs[1][0].press)
+
     def test_bf16_on_disk(self, tmp_path, files):
         import ml_dtypes
 

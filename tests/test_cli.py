@@ -174,6 +174,25 @@ def test_json_report_and_cv_flags(tmp_path):
     assert "lso_rmse" not in rep
 
 
+def test_kfold_cv_flag(tmp_path):
+    """--cv kfold (framework extension) prints the k-FOLD validation
+    block and records it in the JSON report; LOO/LSO skipped."""
+    import json
+
+    out = tmp_path / "report.json"
+    r = run_cli(
+        str(REF / "toyX.csv"), str(REF / "toyY.csv"), "2",
+        "--cv", "kfold", "--kfold-k", "5", "--json", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "5-FOLD Validation:" in r.stderr
+    assert "LOO Validation:" not in r.stderr
+    rep = json.loads(out.read_text())
+    assert rep["kfold_k"] == 5
+    assert len(rep["kfold_rmse"]) == 2  # (M, A) rows
+    assert all(1 <= c <= 2 for c in rep["kfold_optimal_components"])
+
+
 def test_alpha_flag_changes_selection():
     """The selector accepts a smaller model when its Wilcoxon p-value
     exceeds α (pls.cpp:283).  α = 1e-9 makes every smaller candidate pass,

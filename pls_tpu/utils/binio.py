@@ -373,7 +373,8 @@ def npy_chunks(
     """Aligned (X_chunk, Y_chunk) blocks of two .npy files (the binary
     analogue of models/streaming.csv_chunks).  Raises on row-count
     mismatch.  reuse_buffers: see stream_npy — only for consumers that
-    copy/consume each X chunk before the 4-slot pool wraps."""
+    copy/consume each X chunk before the buffer pool wraps (see
+    stream_npy's validity contract)."""
     (nx, _), _dt = npy_shape(x_path)
     shape_y, _ = npy_shape(y_path)
     if shape_y[0] != nx:

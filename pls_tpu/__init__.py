@@ -97,6 +97,8 @@ from pls_tpu.models.kernel_dd import fit_dd, fit_from_stats_dd
 from pls_tpu.models.streaming import (
     FoldStatsAccumulator,
     StatsAccumulator,
+    zscore_fold_stats,
+    zscore_stats,
     collect_moments,
     fit_streaming,
     fit_streaming_csv,
@@ -395,6 +397,8 @@ __all__ = [
     "FoldStatsAccumulator",
     "StatsAccumulator",
     "collect_moments",
+    "zscore_fold_stats",
+    "zscore_stats",
     "fit_streaming",
     "fit_streaming_csv",
     "fit_dd",

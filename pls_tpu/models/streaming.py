@@ -38,12 +38,17 @@ from pls_tpu.types import PLSFit
 
 
 @jax.jit
-def _update(XX, XY, n, Xc, Yc):
-    return XX + Xc.T @ Xc, XY + Xc.T @ Yc, n + Xc.shape[0]
+def _update(XX, XY, YY, sx, sy, n, Xc, Yc):
+    Yf = Yc.astype(YY.dtype)
+    return (
+        XX + Xc.T @ Xc, XY + Xc.T @ Yc, YY + Yf.T @ Yf,
+        sx + jnp.sum(Xc, axis=0), sy + jnp.sum(Yf, axis=0),
+        n + Xc.shape[0],
+    )
 
 
 @jax.jit
-def _update_narrow(XX, XY, n, Xc, Yc):
+def _update_narrow(XX, XY, YY, sx, sy, n, Xc, Yc):
     """Narrow-chunk update (x_storage="bf16"): the chunk streams through
     the MXU in bfloat16 — half the HBM bytes AND the 2× bf16 MXU rate —
     while the XᵀX/XᵀY accumulators stay f32 (`preferred_element_type`).
@@ -55,16 +60,23 @@ def _update_narrow(XX, XY, n, Xc, Yc):
     XY = XY + jax.lax.dot_general(
         Xc, Yc, (((0,), (0,)), ((), ())), preferred_element_type=acc
     )
-    return XX, XY, n + Xc.shape[0]
+    Yf = Yc.astype(acc)
+    YY = YY + Yf.T @ Yf
+    sx = sx + jnp.sum(Xc.astype(acc), axis=0)
+    sy = sy + jnp.sum(Yf, axis=0)
+    return XX, XY, YY, sx, sy, n + Xc.shape[0]
 
 
 @jax.jit
-def _update_compensated(XX, XXe, XY, XYe, n, Xc, Yc):
+def _update_compensated(XX, XXe, XY, XYe, YY, sx, sy, n, Xc, Yc):
     from pls_tpu.ops.twofloat import dd_add_f
 
     XX, XXe = dd_add_f(XX, XXe, Xc.T @ Xc)
     XY, XYe = dd_add_f(XY, XYe, Xc.T @ Yc)
-    return XX, XXe, XY, XYe, n + Xc.shape[0]
+    YY = YY + Yc.T @ Yc
+    sx = sx + jnp.sum(Xc, axis=0)
+    sy = sy + jnp.sum(Yc, axis=0)
+    return XX, XXe, XY, XYe, YY, sx, sy, n + Xc.shape[0]
 
 
 @dataclass
@@ -92,6 +104,9 @@ class StatsAccumulator:
     x_storage: str | None = None
     XX: jax.Array = field(init=False)
     XY: jax.Array = field(init=False)
+    YY: jax.Array = field(init=False)
+    sx: jax.Array = field(init=False)
+    sy: jax.Array = field(init=False)
     XXe: jax.Array = field(init=False)
     XYe: jax.Array = field(init=False)
     n: int = field(init=False, default=0)
@@ -108,6 +123,9 @@ class StatsAccumulator:
                 )
         self.XX = jnp.zeros((self.K, self.K), self.dtype)
         self.XY = jnp.zeros((self.K, self.M), self.dtype)
+        self.YY = jnp.zeros((self.M, self.M), self.dtype)
+        self.sx = jnp.zeros((self.K,), self.dtype)
+        self.sy = jnp.zeros((self.M,), self.dtype)
         # error accumulators only materialize in compensated mode (a K×K
         # f32 buffer is 400 MB at the K=10k north-star scale)
         z = jnp.zeros((0,), self.dtype)
@@ -121,8 +139,10 @@ class StatsAccumulator:
             Y_chunk = jnp.asarray(Y_chunk, jnp.bfloat16)
             if Y_chunk.ndim == 1:
                 Y_chunk = Y_chunk[:, None]
-            self.XX, self.XY, self.n = _update_narrow(
-                self.XX, self.XY, self.n, X_chunk, Y_chunk
+            (self.XX, self.XY, self.YY, self.sx, self.sy,
+             self.n) = _update_narrow(
+                self.XX, self.XY, self.YY, self.sx, self.sy, self.n,
+                X_chunk, Y_chunk,
             )
             return self
         X_chunk = jnp.asarray(X_chunk, self.dtype)
@@ -130,12 +150,16 @@ class StatsAccumulator:
         if Y_chunk.ndim == 1:
             Y_chunk = Y_chunk[:, None]
         if self.compensated:
-            (self.XX, self.XXe, self.XY, self.XYe, self.n) = _update_compensated(
-                self.XX, self.XXe, self.XY, self.XYe, self.n, X_chunk, Y_chunk
+            (self.XX, self.XXe, self.XY, self.XYe, self.YY, self.sx,
+             self.sy, self.n) = _update_compensated(
+                self.XX, self.XXe, self.XY, self.XYe, self.YY, self.sx,
+                self.sy, self.n, X_chunk, Y_chunk,
             )
         else:
-            self.XX, self.XY, self.n = _update(
-                self.XX, self.XY, self.n, X_chunk, Y_chunk
+            (self.XX, self.XY, self.YY, self.sx, self.sy,
+             self.n) = _update(
+                self.XX, self.XY, self.YY, self.sx, self.sy, self.n,
+                X_chunk, Y_chunk,
             )
         return self
 
@@ -151,15 +175,32 @@ class StatsAccumulator:
         else:
             self.XX = self.XX + other.XX
             self.XY = self.XY + other.XY
+        self.YY = self.YY + other.YY
+        self.sx = self.sx + other.sx
+        self.sy = self.sy + other.sy
         self.n = self.n + other.n
         return self
 
-    def fit(self, A: int, **kw) -> PLSFit:
+    def zscored(self):
+        """Closed-form z-scored statistics (zscore_stats docs): returns
+        (XX_z, XY_z, YY_z, mx, sdx, my, sdy) — one pass over RAW data
+        yields the statistics of the column-standardized data."""
+        return zscore_stats(
+            self.XX, self.XY, self.sx, self.sy, self.n, YY=self.YY
+        )
+
+    def fit(self, A: int, *, zscore: bool = False, **kw) -> PLSFit:
+        """Fit from the accumulated statistics.  zscore=True fits the
+        z-scored model from the RAW-data statistics in closed form (the
+        reference CLI's preprocessing, with no second pass)."""
+        if zscore:
+            XX_z, XY_z, *_ = self.zscored()
+            return fit_from_stats(XX_z, XY_z, A, **kw)
         return fit_from_stats(self.XX, self.XY, A, **kw)
 
 
 @jax.jit
-def _update_folds(XXf, XYf, YYf, nf, Xc, Yc, assign):
+def _update_folds(XXf, XYf, YYf, sxf, syf, nf, Xc, Yc, assign):
     """Per-fold sufficient-statistics update for ONE chunk.
 
     For each fold f, the held-out block's cross-products are accumulated
@@ -176,7 +217,7 @@ def _update_folds(XXf, XYf, YYf, nf, Xc, Yc, assign):
     Ycn = Yc.astype(Xc.dtype) if narrow else Yc.astype(acc)
 
     def body(carry, f):
-        XXf, XYf, YYf, nf = carry
+        XXf, XYf, YYf, sxf, syf, nf = carry
         m = (assign == f).astype(Xc.dtype)
         Xm = Xc * m[:, None]
         if narrow:
@@ -196,17 +237,101 @@ def _update_folds(XXf, XYf, YYf, nf, Xc, Yc, assign):
             XXf.at[f].add(xx),
             XYf.at[f].add(xy),
             YYf.at[f].add(yy),
+            sxf.at[f].add(jnp.sum(Xm, axis=0, dtype=acc)),
+            syf.at[f].add(jnp.sum(Ym, axis=0)),
             nf.at[f].add(jnp.sum(ma).astype(nf.dtype)),
         ), None
 
-    (XXf, XYf, YYf, nf), _ = jax.lax.scan(
-        body, (XXf, XYf, YYf, nf), jnp.arange(k)
+    (XXf, XYf, YYf, sxf, syf, nf), _ = jax.lax.scan(
+        body, (XXf, XYf, YYf, sxf, syf, nf), jnp.arange(k)
     )
-    return XXf, XYf, YYf, nf
+    return XXf, XYf, YYf, sxf, syf, nf
+
+
+def zscore_stats(XX, XY, sx, sy, n, *, YY=None, ddof=1):
+    """Transform RAW-data cross-products into the cross-products of the
+    column-z-scored data, in closed form — the algebra that makes
+    one-pass-from-raw fits possible:
+
+        Σ (x−μx)(x−μx)ᵀ = XX − n·μx μxᵀ          (since Σx = n·μx)
+        Σ (x−μx)(y−μy)ᵀ = XY − n·μx μyᵀ
+        z-scoring divides row i of the centered products by σ_i and
+        column j by σ_j.
+
+    σ comes from the same statistics (diag of the centered XX/YY), so
+    ONE pass over the data — accumulating XX, XY, (YY,) and the column
+    sums sx, sy — suffices where the naive formulation needs a moments
+    pass plus a scaled-data pass.  Numerical caveat (the classic
+    uncentered-sum-of-squares cancellation): entries lose ~(μ/σ)²
+    relative precision in the subtraction, so this is for data whose
+    column means are not enormous relative to their spreads; for
+    extreme-offset data use the exact two-pass scheme
+    (collect_moments + fit_streaming(zscore=True)), which is immune.
+
+    Returns (XX_z, XY_z, YY_z | None, mx, sdx, my, sdy); zero-variance
+    columns get σ=1 (the z-score guard, ops/stats.py).
+    """
+    n = jnp.asarray(n, XX.dtype)
+    mx = sx / n
+    my = sy / n
+    cXX = XX - n * jnp.outer(mx, mx)
+    varx = jnp.diagonal(cXX) / (n - ddof)
+    sdx = jnp.sqrt(jnp.maximum(varx, 0))
+    sdx = jnp.where(sdx == 0, 1.0, sdx)
+    cXY = XY - n * jnp.outer(mx, my)
+    if YY is not None:
+        cYY = YY - n * jnp.outer(my, my)
+        vary = jnp.diagonal(cYY) / (n - ddof)
+        sdy = jnp.sqrt(jnp.maximum(vary, 0))
+        sdy = jnp.where(sdy == 0, 1.0, sdy)
+        YY_z = cYY / jnp.outer(sdy, sdy)
+    else:
+        sdy = jnp.ones_like(my)
+        YY_z = None
+    XX_z = cXX / jnp.outer(sdx, sdx)
+    XY_z = cXY / jnp.outer(sdx, sdy)
+    return XX_z, XY_z, YY_z, mx, sdx, my, sdy
+
+
+def zscore_fold_stats(XXf, XYf, YYf, sxf, syf, nf, mx, sdx, my, sdy):
+    """Per-fold analogue of `zscore_stats` under GLOBAL (mx, sdx, my,
+    sdy) — the reference pipeline z-scores once globally before any CV
+    (/root/reference/src/main.cpp:24-25), so fold blocks transform with
+    the global location/scale but their OWN row sums:
+
+        Σ_{i∈f} (x−μ)(x−μ)ᵀ = XXf − μ sxfᵀ − sxf μᵀ + n_f μμᵀ
+
+    Inputs are stacked over the fold axis: XXf (k, K, K), XYf (k, K, M),
+    YYf (k, M, M), sxf (k, K), syf (k, M), nf (k,).  Returns the
+    z-scored (XXf_z, XYf_z, YYf_z).
+    """
+    nfa = nf.astype(XXf.dtype)[:, None, None]
+    cXXf = (
+        XXf
+        - mx[None, :, None] * sxf[:, None, :]
+        - sxf[:, :, None] * mx[None, None, :]
+        + nfa * jnp.outer(mx, mx)[None]
+    )
+    cXYf = (
+        XYf
+        - mx[None, :, None] * syf[:, None, :]
+        - sxf[:, :, None] * my[None, None, :]
+        + nfa * jnp.outer(mx, my)[None]
+    )
+    cYYf = (
+        YYf
+        - my[None, :, None] * syf[:, None, :]
+        - syf[:, :, None] * my[None, None, :]
+        + nfa * jnp.outer(my, my)[None]
+    )
+    XXf_z = cXXf / jnp.outer(sdx, sdx)[None]
+    XYf_z = cXYf / jnp.outer(sdx, sdy)[None]
+    YYf_z = cYYf / jnp.outer(sdy, sdy)[None]
+    return XXf_z, XYf_z, YYf_z
 
 
 @jax.jit
-def _update_single_fold(XXf, XYf, YYf, nf, Xc, Yc, f):
+def _update_single_fold(XXf, XYf, YYf, sxf, syf, nf, Xc, Yc, f):
     """Fast path when EVERY row of the chunk belongs to fold `f` (a
     traced scalar, so one compiled program serves all folds): one plain
     Gram update scattered into the fold slot — 1× flops instead of the
@@ -233,6 +358,8 @@ def _update_single_fold(XXf, XYf, YYf, nf, Xc, Yc, f):
         XXf.at[f].add(xx),
         XYf.at[f].add(xy),
         YYf.at[f].add(yy),
+        sxf.at[f].add(jnp.sum(Xc, axis=0, dtype=acc)),
+        syf.at[f].add(jnp.sum(Ya, axis=0)),
         nf.at[f].add(jnp.int32(Xc.shape[0])),
     )
 
@@ -272,6 +399,8 @@ class FoldStatsAccumulator:
     XXf: jax.Array = field(init=False)
     XYf: jax.Array = field(init=False)
     YYf: jax.Array = field(init=False)
+    sxf: jax.Array = field(init=False)
+    syf: jax.Array = field(init=False)
     nf: jax.Array = field(init=False)
 
     def __post_init__(self):
@@ -284,6 +413,8 @@ class FoldStatsAccumulator:
         self.XXf = jnp.zeros((self.k, self.K, self.K), self.dtype)
         self.XYf = jnp.zeros((self.k, self.K, self.M), self.dtype)
         self.YYf = jnp.zeros((self.k, self.M, self.M), self.dtype)
+        self.sxf = jnp.zeros((self.k, self.K), self.dtype)
+        self.syf = jnp.zeros((self.k, self.M), self.dtype)
         self.nf = jnp.zeros((self.k,), jnp.int32)
 
     def update(self, X_chunk, Y_chunk, assign_chunk) -> "FoldStatsAccumulator":
@@ -301,14 +432,16 @@ class FoldStatsAccumulator:
             Y_chunk = Y_chunk[:, None]
         a_np = np.asarray(assign_chunk)
         if a_np.size and a_np.min() == a_np.max():
-            self.XXf, self.XYf, self.YYf, self.nf = _update_single_fold(
-                self.XXf, self.XYf, self.YYf, self.nf,
+            (self.XXf, self.XYf, self.YYf, self.sxf, self.syf,
+             self.nf) = _update_single_fold(
+                self.XXf, self.XYf, self.YYf, self.sxf, self.syf, self.nf,
                 X_chunk, Y_chunk, jnp.int32(a_np[0]),
             )
             return self
         assign_chunk = jnp.asarray(assign_chunk, jnp.int32)
-        self.XXf, self.XYf, self.YYf, self.nf = _update_folds(
-            self.XXf, self.XYf, self.YYf, self.nf,
+        (self.XXf, self.XYf, self.YYf, self.sxf, self.syf,
+         self.nf) = _update_folds(
+            self.XXf, self.XYf, self.YYf, self.sxf, self.syf, self.nf,
             X_chunk, Y_chunk, assign_chunk,
         )
         return self
@@ -318,8 +451,39 @@ class FoldStatsAccumulator:
         self.XXf = self.XXf + other.XXf
         self.XYf = self.XYf + other.XYf
         self.YYf = self.YYf + other.YYf
+        self.sxf = self.sxf + other.sxf
+        self.syf = self.syf + other.syf
         self.nf = self.nf + other.nf
         return self
+
+    def zscored(self) -> "FoldStatsAccumulator":
+        """A new accumulator holding the fold statistics of the
+        GLOBALLY z-scored data, in closed form from the raw-data fold
+        statistics (zscore_fold_stats docs — the reference pipeline's
+        z-score-then-CV order, with no extra data pass).  Also returns
+        the transform via attributes `.mx/.sdx/.my/.sdy` on the result
+        for use in the residual pass."""
+        _, _, _, mx, sdx, my, sdy = zscore_stats(
+            jnp.sum(self.XXf, axis=0), jnp.sum(self.XYf, axis=0),
+            jnp.sum(self.sxf, axis=0), jnp.sum(self.syf, axis=0),
+            jnp.sum(self.nf), YY=jnp.sum(self.YYf, axis=0),
+        )
+        XXf_z, XYf_z, YYf_z = zscore_fold_stats(
+            self.XXf, self.XYf, self.YYf, self.sxf, self.syf, self.nf,
+            mx, sdx, my, sdy,
+        )
+        out = FoldStatsAccumulator(self.K, self.M, self.k, self.dtype)
+        out.XXf = XXf_z
+        out.XYf = XYf_z
+        out.YYf = YYf_z
+        # per-fold sums of globally-z-scored rows: (sxf − n_f·μ)/σ
+        # (zero only when summed over ALL folds)
+        nfa = self.nf.astype(self.dtype)[:, None]
+        out.sxf = (self.sxf - nfa * mx[None, :]) / sdx[None, :]
+        out.syf = (self.syf - nfa * my[None, :]) / sdy[None, :]
+        out.nf = self.nf
+        out.mx, out.sdx, out.my, out.sdy = mx, sdx, my, sdy
+        return out
 
     @property
     def XX(self) -> jax.Array:

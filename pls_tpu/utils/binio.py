@@ -583,6 +583,7 @@ def cv_kfold_npy(
     chunk_rows: int | None = None,
     x_storage: str | None = None,
     residual_pass: bool = True,
+    zscore: bool = False,
     power_iters: int | None = None,
     precision: str | None = "highest",
     sync_every: int = 1,
@@ -602,6 +603,14 @@ def cv_kfold_npy(
     Returns (KFoldOnePass, Residual | None): the closed-form summary
     and, when residual_pass, the (M, N, A) Residual (errors held as
     host numpy — N-sized) feeding cv/validation unchanged.
+
+    zscore=True: the files hold RAW data; the fold statistics of the
+    globally column-standardized data are derived in closed form from
+    the raw statistics + column sums gathered in the same pass
+    (models/streaming.zscore_fold_stats — the reference CLI's
+    z-score-then-CV pipeline with zero extra passes), and residual-pass
+    chunks are standardized on device.  See zscore_stats for the
+    cancellation caveat with extreme column offsets.
 
     Reference analogue: /root/reference/src/pls.cpp:512-549 (fold
     refits) + 265-289 (the selector's need for per-row errors).  LSO
@@ -627,6 +636,10 @@ def cv_kfold_npy(
         x_path, y_path, assignments, k,
         chunk_rows=chunk_rows, x_storage=x_storage, sync_every=sync_every,
     )
+    scale = None
+    if zscore:
+        facc = facc.zscored()
+        scale = (facc.mx, facc.sdx, facc.my, facc.sdy)
     summary = cv_kfold_onepass(
         facc, A, power_iters=power_iters, precision=precision
     )
@@ -650,6 +663,10 @@ def cv_kfold_npy(
         rows = Xc.shape[0]
         if Yc.ndim == 1:
             Yc = Yc[:, None]
+        if scale is not None:
+            mx, sdx, my, sdy = scale
+            Xc = (Xc.astype(mx.dtype) - mx[None, :]) / sdx[None, :]
+            Yc = (Yc.astype(my.dtype) - my[None, :]) / sdy[None, :]
         e = fold_residual_chunk(
             B, Xc, Yc, jnp.asarray(assignments[start : start + rows])
         )

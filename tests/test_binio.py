@@ -223,6 +223,35 @@ class TestOnePassKFoldNpy:
         assert summary.press.shape == (2, 3)
         assert summary.n_obs == X.shape[0]
 
+    def test_zscore_from_raw_files(self, tmp_path):
+        """cv_kfold_npy(zscore=True) on RAW files must match running
+        the plain path on explicitly pre-z-scored files — one pass
+        instead of moments + scaled passes."""
+        from pls_tpu.cv.kfold import kfold_assignments
+        from pls_tpu.utils.binio import cv_kfold_npy
+
+        rng = np.random.default_rng(31)
+        X = (rng.normal(size=(400, 20)) * 2 + 7).astype(np.float32)
+        Y = (X @ rng.normal(size=(20, 2)) + rng.normal(size=(400, 2))
+             ).astype(np.float32)
+        Xz = (X - X.mean(0)) / X.std(0, ddof=1)
+        Yz = (Y - Y.mean(0)) / Y.std(0, ddof=1)
+        raw_x, raw_y = str(tmp_path / "rx.npy"), str(tmp_path / "ry.npy")
+        z_x, z_y = str(tmp_path / "zx.npy"), str(tmp_path / "zy.npy")
+        write_npy_chunked(raw_x, [X]); write_npy_chunked(raw_y, [Y])
+        write_npy_chunked(z_x, [Xz.astype(np.float32)])
+        write_npy_chunked(z_y, [Yz.astype(np.float32)])
+        assign = np.asarray(kfold_assignments(400, 4, key=2))
+        s_raw, r_raw = cv_kfold_npy(
+            raw_x, raw_y, 3, k=4, assignments=assign, chunk_rows=128,
+            zscore=True)
+        s_pre, r_pre = cv_kfold_npy(
+            z_x, z_y, 3, k=4, assignments=assign, chunk_rows=128)
+        np.testing.assert_allclose(s_raw.press, s_pre.press, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(r_raw.errors), np.asarray(r_pre.errors),
+            rtol=1e-2, atol=1e-3)
+
     def test_repeated_kfold(self, files):
         from pls_tpu.utils.binio import cv_kfold_npy, cv_repeated_kfold_npy
 

@@ -396,20 +396,28 @@ def main() -> int:
             np.abs(press_resid - press_cf).max() / np.abs(press_cf).max()
         )
         log(f"closed-form vs residual-sweep PRESS agreement: {rel:.2e}")
-        # Wilcoxon optimal components on host CPU devices (errors are
-        # host-resident; no reason to push 800 MB through the tunnel)
+        # Wilcoxon optimal components.  The selector is one jitted program
+        # (cv/validation._optimal_from_errors); at this shape the
+        # accelerator wins even counting the 800 MB host→device transfer
+        # (measured r05, tools/selector_bench.py: 4.8 s total on the
+        # tunnel-attached v5e vs 71 s jitted / 87.6 s eager on this host's
+        # CPU), so run it on the default backend and fall back to host
+        # only when no accelerator exists.
         from pls_tpu.cv.validation import optimal_num_components
         from pls_tpu.types import Residual
 
         t0 = time.perf_counter()
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            opt = np.asarray(optimal_num_components(
-                Residual(errors=np.ascontiguousarray(
-                    np.transpose(errs, (2, 0, 1))), method=f"{k}-FOLD")
-            ))
+        sel_dev = jax.devices()[0]
+        errs_mna = jax.device_put(
+            np.ascontiguousarray(np.transpose(errs, (2, 0, 1))), sel_dev
+        )
+        opt = np.asarray(optimal_num_components(
+            Residual(errors=errs_mna, method=f"{k}-FOLD")
+        ))
+        del errs_mna
         t_opt = time.perf_counter() - t0
         log(f"optimal components (Wilcoxon over {N} rows): {list(opt)} "
-            f"({t_opt:.1f}s, host)")
+            f"({t_opt:.1f}s, {sel_dev.platform})")
         out["kfold2p_resid_sec"] = round(t_resid, 2)
         out["kfold2p_press_agreement_rel"] = rel
         out["kfold2p_optimal_components"] = [int(v) for v in opt]

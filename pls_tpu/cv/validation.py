@@ -42,9 +42,13 @@ def validation(residual: Residual, out_type: VALIDATION_OUTPUT = RESS) -> jnp.nd
     return ssev
 
 
-def optimal_num_components(residual: Residual, alpha: float = 0.1) -> jnp.ndarray:
-    """Per-Y optimal number of components, 1-based (reference pls.cpp:263-289)."""
-    errs = residual.errors  # (M, n_obs, A)
+@jax.jit
+def _optimal_from_errors(errs: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Jitted core of optimal_num_components: errs (M, n_obs, A) → (M,)
+    1-based counts.  One compiled program — the M·A Wilcoxon tests lower
+    to a single batched stable sort — instead of O(M·A) eager dispatches;
+    at the 1M-row north star this is the difference between ~1.5 s and
+    ~90 s on the same host backend (docs/PERF.md)."""
     press = jnp.sum(errs * errs, axis=1)  # (M, A)
 
     def per_y(press_y, err_y):
@@ -60,6 +64,11 @@ def optimal_num_components(residual: Residual, alpha: float = 0.1) -> jnp.ndarra
         return jnp.where(jnp.any(ok), first_ok, ref_min) + 1
 
     return jax.vmap(per_y)(press, errs)
+
+
+def optimal_num_components(residual: Residual, alpha: float = 0.1) -> jnp.ndarray:
+    """Per-Y optimal number of components, 1-based (reference pls.cpp:263-289)."""
+    return _optimal_from_errors(jnp.asarray(residual.errors), alpha)
 
 
 def compare_models(

@@ -111,12 +111,29 @@ def cv_kfold(
         raise ValueError(f"k={k} must satisfy 2 <= k <= N={N}")
     if assignments is None:
         assignments = kfold_assignments(N, k, key)
-    assignments = jnp.asarray(assignments)
+    assignments = jnp.asarray(_check_assignments(assignments, k))
     return _cv_by_assignment(
         X, Y, assignments, jnp.arange(k), A, method, f"{k}-FOLD",
         batch_size=batch_size, power_iters=power_iters, precision=precision,
         x_storage=x_storage,
     )
+
+
+def _check_assignments(assign, k: int) -> np.ndarray:
+    """Validate (N,) fold labels lie in [0, k).  Out-of-range labels
+    would otherwise fail SILENTLY: in the masked-refit engine an
+    unmatched row's argmax over an all-False row resolves to fold 0 (the
+    row gets in-sample errors from a model trained on it), and in the
+    one-pass scheme such rows drop out of every fold's statistics."""
+    a = np.asarray(assign)
+    if a.ndim != 1:
+        raise ValueError(f"assignments must be 1-D, got shape {a.shape}")
+    if a.size and (a.min() < 0 or a.max() >= k):
+        raise ValueError(
+            f"fold assignments must lie in [0, {k}); got range "
+            f"[{a.min()}, {a.max()}]"
+        )
+    return a
 
 
 def _fold_blocks(assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -178,7 +195,7 @@ def cv_kfold_downdate(
         raise ValueError(f"k={k} must satisfy 2 <= k <= N={N}")
     if assignments is None:
         assignments = kfold_assignments(N, k, key)
-    assign_np = np.asarray(assignments)
+    assign_np = _check_assignments(assignments, k)
     idx_np, mask_np = _fold_blocks(assign_np, k)
     idx = jnp.asarray(idx_np)
     mask = jnp.asarray(mask_np)

@@ -45,7 +45,6 @@ from pls_tpu.ops.twofloat import (
     dd_matvec_t,
     dd_mul,
     dd_sqrt,
-    two_prod,
 )
 from pls_tpu.types import METHOD, PLSFit
 
@@ -174,11 +173,12 @@ def fit_dd(
     XYh, XYl = dd_cross(X, Y)
     if type1:
         return _fit_kernel_dd(X, None, None, XYh, XYl, Y, A, True, power_iters)
-    # type2: dd Gram matrix, column-blocked exact products
-    p, e = two_prod(X[:, :, None], X[:, None, :])
-    from pls_tpu.ops.twofloat import dd_reduce_sum
+    # type2: dd Gram matrix, row-blocked exact products (dd_gram scans
+    # row blocks so the live two_prod temporary is ~(block, K, K), not
+    # the (N, K, K) that would OOM at even modest N·K²)
+    from pls_tpu.ops.twofloat import dd_gram
 
-    XXh, XXl = dd_reduce_sum(p, e, axis=0)
+    XXh, XXl = dd_gram(X)
     return _fit_kernel_dd(None, XXh, XXl, XYh, XYl, Y, A, False, power_iters)
 
 

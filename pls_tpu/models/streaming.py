@@ -69,11 +69,18 @@ def _update_narrow(XX, XY, YY, sx, sy, n, Xc, Yc):
 
 @jax.jit
 def _update_compensated(XX, XXe, XY, XYe, YY, sx, sy, n, Xc, Yc):
+    """Compensated update: chunk partials at HIGHEST matmul precision
+    (pinned explicitly — on TPU a DEFAULT-precision f32 matmul rounds
+    operands to bf16 on the MXU, which would put ~1e-3 error into the
+    partial BEFORE dd_add_f faithfully preserves it, voiding the
+    'correctly rounded XX/XY' contract; ops/twofloat.cross_products
+    pins the same way)."""
     from pls_tpu.ops.twofloat import dd_add_f
 
-    XX, XXe = dd_add_f(XX, XXe, Xc.T @ Xc)
-    XY, XYe = dd_add_f(XY, XYe, Xc.T @ Yc)
-    YY = YY + Yc.T @ Yc
+    hi = jax.lax.Precision.HIGHEST
+    XX, XXe = dd_add_f(XX, XXe, jnp.matmul(Xc.T, Xc, precision=hi))
+    XY, XYe = dd_add_f(XY, XYe, jnp.matmul(Xc.T, Yc, precision=hi))
+    YY = YY + jnp.matmul(Yc.T, Yc, precision=hi)
     sx = sx + jnp.sum(Xc, axis=0)
     sy = sy + jnp.sum(Yc, axis=0)
     return XX, XXe, XY, XYe, YY, sx, sy, n + Xc.shape[0]
@@ -95,13 +102,22 @@ class StatsAccumulator:
     stay in `dtype` — the same narrow-X/f32-accumulation policy as
     fit(x_storage=...).  Chunks already stored bf16 pass through without
     an upcast.  Mutually exclusive with compensated (a bf16-rounded chunk
-    has already lost more than compensation recovers)."""
+    has already lost more than compensation recovers).
+
+    precision: matmul precision of the plain-path per-chunk Gram updates
+    (None = backend default — on TPU that is the measured 117-120
+    TFLOP/s production configuration, with the ~1e-3-relative bf16 MXU
+    operand rounding of any default-precision f32 matmul; "highest" =
+    exact-f32 6-pass emulation at ~1/6 the rate).  compensated mode
+    always pins HIGHEST (its whole point is the error contract);
+    x_storage="bf16" ignores it (bf16 products are exact in f32)."""
 
     K: int
     M: int
     dtype: object = jnp.float32
     compensated: bool = False
     x_storage: str | None = None
+    precision: str | None = None
     XX: jax.Array = field(init=False)
     XY: jax.Array = field(init=False)
     YY: jax.Array = field(init=False)
@@ -156,11 +172,17 @@ class StatsAccumulator:
                 self.sy, self.n, X_chunk, Y_chunk,
             )
         else:
-            (self.XX, self.XY, self.YY, self.sx, self.sy,
-             self.n) = _update(
-                self.XX, self.XY, self.YY, self.sx, self.sy, self.n,
-                X_chunk, Y_chunk,
-            )
+            from pls_tpu.models.kernel_pls import _prec_ctx
+
+            # the matmul-precision config is part of jax's trace-context
+            # key, so the jitted update specializes (and caches) per
+            # precision setting
+            with _prec_ctx(self.precision):
+                (self.XX, self.XY, self.YY, self.sx, self.sy,
+                 self.n) = _update(
+                    self.XX, self.XY, self.YY, self.sx, self.sy, self.n,
+                    X_chunk, Y_chunk,
+                )
         return self
 
     def merge(self, other: "StatsAccumulator") -> "StatsAccumulator":
@@ -387,15 +409,19 @@ class FoldStatsAccumulator:
     this stays hidden behind the disk/transfer stream.
 
     x_storage="bf16": chunks stream the MXU narrow with f32
-    accumulators (StatsAccumulator policy).  Reference analogue: the
-    fold refits of Model::cv_LSO (/root/reference/src/pls.cpp:512-549),
-    restructured as statistics accumulated in the data pass."""
+    accumulators (StatsAccumulator policy).  precision: matmul
+    precision of the f32-path Gram updates (StatsAccumulator precision
+    docs; None = backend default, the production configuration).
+    Reference analogue: the fold refits of Model::cv_LSO
+    (/root/reference/src/pls.cpp:512-549), restructured as statistics
+    accumulated in the data pass."""
 
     K: int
     M: int
     k: int
     dtype: object = jnp.float32
     x_storage: str | None = None
+    precision: str | None = None
     XXf: jax.Array = field(init=False)
     XYf: jax.Array = field(init=False)
     YYf: jax.Array = field(init=False)
@@ -430,20 +456,23 @@ class FoldStatsAccumulator:
         Y_chunk = jnp.asarray(Y_chunk)
         if Y_chunk.ndim == 1:
             Y_chunk = Y_chunk[:, None]
+        from pls_tpu.models.kernel_pls import _prec_ctx
+
         a_np = np.asarray(assign_chunk)
-        if a_np.size and a_np.min() == a_np.max():
+        with _prec_ctx(self.precision):
+            if a_np.size and a_np.min() == a_np.max():
+                (self.XXf, self.XYf, self.YYf, self.sxf, self.syf,
+                 self.nf) = _update_single_fold(
+                    self.XXf, self.XYf, self.YYf, self.sxf, self.syf, self.nf,
+                    X_chunk, Y_chunk, jnp.int32(a_np[0]),
+                )
+                return self
+            assign_chunk = jnp.asarray(assign_chunk, jnp.int32)
             (self.XXf, self.XYf, self.YYf, self.sxf, self.syf,
-             self.nf) = _update_single_fold(
+             self.nf) = _update_folds(
                 self.XXf, self.XYf, self.YYf, self.sxf, self.syf, self.nf,
-                X_chunk, Y_chunk, jnp.int32(a_np[0]),
+                X_chunk, Y_chunk, assign_chunk,
             )
-            return self
-        assign_chunk = jnp.asarray(assign_chunk, jnp.int32)
-        (self.XXf, self.XYf, self.YYf, self.sxf, self.syf,
-         self.nf) = _update_folds(
-            self.XXf, self.XYf, self.YYf, self.sxf, self.syf, self.nf,
-            X_chunk, Y_chunk, assign_chunk,
-        )
         return self
 
     def merge(self, other: "FoldStatsAccumulator") -> "FoldStatsAccumulator":

@@ -179,6 +179,40 @@ def dd_cross(X, Y):
     return dd_reduce_sum(p, e, axis=0)
 
 
+def dd_gram(X: jnp.ndarray, *, block_rows: int | None = None):
+    """Double-float XᵀX from a plain-f32 (N, K) operand: exact two_prod
+    products, compensated reduction over rows → (K, K) pair.
+
+    Row-BLOCKED: the naive formulation materializes an (N, K, K)
+    two_prod intermediate — 137 GB at the modest N=4096, K=2048 — so a
+    lax.scan over row blocks keeps the live temporaries at
+    ~(block_rows, K, K) instead (block_rows auto-sized so the pair of
+    f32 temps stays ≲256 MB); zero-padded tail rows contribute exact
+    zeros.  Cross-block accumulation is dd_add (renormalized two_sum),
+    matching the chunk-compensated contract of `cross_products`.
+    """
+    import jax
+
+    X = jnp.asarray(X)
+    N, K = X.shape
+    if block_rows is None:
+        block_rows = max(1, (1 << 24) // (K * K))  # ~64 MB per f32 temp
+    block_rows = min(block_rows, N)
+    nb = -(-N // block_rows)
+    pad = nb * block_rows - N
+    Xb = jnp.pad(X, ((0, pad), (0, 0))).reshape(nb, block_rows, K)
+
+    def body(carry, Xc):
+        XXh, XXl = carry
+        p, e = two_prod(Xc[:, :, None], Xc[:, None, :])
+        h, l = dd_reduce_sum(p, e, axis=0)
+        return dd_add(XXh, XXl, h, l), None
+
+    z = jnp.zeros((K, K), X.dtype)
+    (XXh, XXl), _ = jax.lax.scan(body, (z, z), Xb)
+    return XXh, XXl
+
+
 def dd_sum(x: jnp.ndarray, axis: int = 0):
     """Compensated reduction along `axis`: returns (hi, lo) such that
     hi + lo approximates the exact sum to ~2*p bits.  Implemented as a

@@ -87,7 +87,12 @@ def write_npy_chunked(path: str, chunks, *, dtype=None) -> tuple[int, int]:
     the data offset.
     """
     it = iter(chunks)
-    first = np.ascontiguousarray(next(it))
+    try:
+        first = np.ascontiguousarray(next(it))
+    except StopIteration:
+        # don't let a bare StopIteration escape (PEP 479 turns it into an
+        # opaque RuntimeError inside generators)
+        raise ValueError("write_npy_chunked: empty chunk iterable") from None
     if dtype is not None:
         first = first.astype(dtype, copy=False)
     K = first.shape[1] if first.ndim == 2 else 1
@@ -151,7 +156,8 @@ def stream_npy(
     path: str, chunk_rows: int, *, threaded: bool = True,
     reuse_buffers: bool = False, direct: bool | None = None,
 ):
-    """Yield (rows ≤ chunk_rows, K) C-contiguous blocks of a 2-D .npy.
+    """Yield (rows ≤ chunk_rows, K) C-contiguous blocks of a 2-D .npy
+    (a 1-D file of shape (N,) streams as (N, 1) — the M=1 convention).
 
     threaded=True (default): a background thread pread()s chunk i+1 from
     disk while chunk i is being consumed — double-buffered, bounded at 2
@@ -188,12 +194,22 @@ def stream_npy(
     direct=True forces it (raises if the open fails); False disables.
     """
     shape, dtype, off, fortran = _npy_layout(path)
+    if len(shape) == 1:
+        # 1-D response vectors are the library-wide convention for M=1
+        # (utils/io.py, model.py promote them); stream as (N, 1)
+        shape = (shape[0], 1)
     if len(shape) != 2:
-        raise ValueError(f"{path}: expected 2-D array, got shape {shape}")
+        raise ValueError(f"{path}: expected 1-D or 2-D array, got shape {shape}")
     if fortran:
         raise ValueError(f"{path}: fortran-order arrays are not streamable")
     if chunk_rows <= 0:
         raise ValueError("chunk_rows must be positive")
+    if direct and not reuse_buffers:
+        raise ValueError(
+            "direct=True requires reuse_buffers=True (O_DIRECT DMAs into "
+            "the page-aligned buffer pool; the unpooled path has no "
+            "aligned targets)"
+        )
     N, K = shape
     row_bytes = K * dtype.itemsize
     fsize = os.path.getsize(path)
@@ -435,6 +451,7 @@ def stats_from_npy(
     x_storage: str | None = None,
     dtype=None,
     compensated: bool = False,
+    stats_precision: str | None = None,
     sync_every: int = 1,
 ):
     """One streaming pass over binary files → StatsAccumulator holding
@@ -447,6 +464,13 @@ def stats_from_npy(
     sub-4-byte dtype (float16, int16, int8, ...) is upcast to f32 on
     host so no mantissa bits or integer exactness are silently dropped
     (pass x_storage="bf16" to opt in to narrowing those).
+
+    stats_precision: matmul precision of the accumulation itself
+    ("highest" = exact-f32 chunk partials at ~1/6 the MXU rate; None =
+    backend default, the measured production configuration — note a
+    downstream fit's `precision="highest"` governs only the component
+    loop, not this data pass).  compensated=True pins HIGHEST
+    internally.
 
     sync_every: block on the accumulator every N chunks.  This is the
     pipeline's backpressure: async dispatch otherwise races arbitrarily
@@ -463,30 +487,14 @@ def stats_from_npy(
 
     from pls_tpu.models.streaming import StatsAccumulator
 
-    import ml_dtypes
-
-    (N, K), x_dtype = npy_shape(x_path)
-    shape_y, _ = npy_shape(y_path)
-    M = shape_y[1] if len(shape_y) == 2 else 1
+    (N, K), M, chunk_rows, cast, x_storage = _resolve_ingest(
+        x_path, y_path, chunk_rows, x_storage, compensated
+    )
     if dtype is None:
         dtype = jnp.float32
-    if chunk_rows is None:
-        chunk_rows = auto_chunk_rows(x_dtype)
-    cast = jnp.bfloat16 if x_storage else None
-    if x_dtype == np.dtype(ml_dtypes.bfloat16):
-        cast = None  # already narrow on disk; transfer as-is
-        if x_storage is None and not compensated:
-            # bf16-on-disk chunks should stream the MXU narrow too (the
-            # upcast would cost bandwidth and change nothing: bf16
-            # products are exact in f32 either way)
-            x_storage = "bf16"
-    elif x_dtype.itemsize < 4 and cast is None:
-        # float16/int16/int8/... must NOT silently ride the bf16 path
-        # (it would discard f16 mantissa bits / integer exactness);
-        # upcast on host unless the caller opted into narrowing
-        cast = jnp.float32
     acc = StatsAccumulator(
-        K, M, dtype, compensated=compensated, x_storage=x_storage
+        K, M, dtype, compensated=compensated, x_storage=x_storage,
+        precision=stats_precision,
     )
     xs = device_stream(
         stream_npy(x_path, chunk_rows, threaded=True, reuse_buffers=True),
@@ -502,14 +510,31 @@ def stats_from_npy(
 
 def _resolve_ingest(x_path: str, y_path: str, chunk_rows, x_storage,
                     compensated: bool = False):
-    """Shared ingest-policy resolution (dtype gating + auto chunk size);
-    returns ((N, K), M, chunk_rows, cast, x_storage)."""
+    """Shared ingest-policy resolution (dtype gating + auto chunk size +
+    X/Y row-count validation — zip() over two streams would otherwise
+    silently truncate at the shorter file);
+    returns ((N, K), M, chunk_rows, cast, x_storage).
+
+    Auto-narrow gate: only an exactly-bfloat16-on-disk X selects the
+    narrow MXU path by itself; any other sub-4-byte dtype (float16,
+    int16, int8, ...) is upcast to f32 on host so no mantissa bits or
+    integer exactness are silently dropped (pass x_storage="bf16" to
+    opt in to narrowing those).
+    """
     import jax.numpy as jnp
     import ml_dtypes
 
-    (N, K), x_dtype = npy_shape(x_path)
+    shape_x, x_dtype = npy_shape(x_path)
+    if len(shape_x) != 2:
+        raise ValueError(f"{x_path}: X must be 2-D, got shape {shape_x}")
+    N, K = shape_x
     shape_y, _ = npy_shape(y_path)
     M = shape_y[1] if len(shape_y) == 2 else 1
+    if shape_y[0] != N:
+        raise ValueError(
+            f"row-count mismatch: {x_path} has {N} rows but {y_path} "
+            f"has {shape_y[0]}"
+        )
     if chunk_rows is None:
         chunk_rows = auto_chunk_rows(x_dtype)
     cast = jnp.bfloat16 if x_storage else None
@@ -531,6 +556,7 @@ def fold_stats_from_npy(
     chunk_rows: int | None = None,
     x_storage: str | None = None,
     dtype=None,
+    stats_precision: str | None = None,
     sync_every: int = 1,
 ):
     """ONE streaming pass over binary files → per-fold sufficient
@@ -549,14 +575,18 @@ def fold_stats_from_npy(
     (N, K), M, chunk_rows, cast, x_storage = _resolve_ingest(
         x_path, y_path, chunk_rows, x_storage
     )
-    assignments = np.asarray(assignments, np.int32)
+    from pls_tpu.cv.kfold import _check_assignments
+
+    assignments = np.asarray(_check_assignments(assignments, k), np.int32)
     if assignments.shape != (N,):
         raise ValueError(
             f"assignments shape {assignments.shape} != ({N},)"
         )
     if dtype is None:
         dtype = jnp.float32
-    acc = FoldStatsAccumulator(K, M, k, dtype, x_storage=x_storage)
+    acc = FoldStatsAccumulator(
+        K, M, k, dtype, x_storage=x_storage, precision=stats_precision
+    )
     xs = device_stream(
         stream_npy(x_path, chunk_rows, threaded=True, reuse_buffers=True),
         cast=cast,
@@ -586,6 +616,7 @@ def cv_kfold_npy(
     zscore: bool = False,
     power_iters: int | None = None,
     precision: str | None = "highest",
+    stats_precision: str | None = None,
     sync_every: int = 1,
 ):
     """K-fold cross-validation straight from .npy files in TWO total
@@ -612,6 +643,13 @@ def cv_kfold_npy(
     chunks are standardized on device.  See zscore_stats for the
     cancellation caveat with extreme column offsets.
 
+    Precision knobs: `precision` governs the X-free closed form (the
+    per-fold component loops and PRESS contractions); `stats_precision`
+    governs the data pass itself — the XXf/XYf Gram accumulation, whose
+    default-MXU rounding (~1e-3 relative on TPU f32 inputs) is the
+    dominant error term in the cancelling PRESS combination.  bf16-on-
+    disk files are unaffected (bf16 products are exact in f32).
+
     Reference analogue: /root/reference/src/pls.cpp:512-549 (fold
     refits) + 265-289 (the selector's need for per-row errors).  LSO
     note: Monte-Carlo trials are not a partition, so the one-pass trick
@@ -634,7 +672,8 @@ def cv_kfold_npy(
 
     facc = fold_stats_from_npy(
         x_path, y_path, assignments, k,
-        chunk_rows=chunk_rows, x_storage=x_storage, sync_every=sync_every,
+        chunk_rows=chunk_rows, x_storage=x_storage,
+        stats_precision=stats_precision, sync_every=sync_every,
     )
     scale = None
     if zscore:

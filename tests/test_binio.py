@@ -353,3 +353,64 @@ class TestReusedBuffers:
         ]
         ref = X.astype(jnp.bfloat16).astype(np.float32)
         np.testing.assert_array_equal(np.concatenate(outs), np.asarray(ref))
+
+
+class TestIngestValidation:
+    """r05 review findings: silent-truncation and misuse guards."""
+
+    def test_row_count_mismatch_raises(self, files, tmp_path):
+        """zip() over two independent streams must not silently truncate:
+        X/Y row counts are validated up front (stats, fold-stats, and
+        the kfold residual pass all share _resolve_ingest)."""
+        xp, _, X, Y = files
+        yshort = str(tmp_path / "yshort.npy")
+        write_npy_chunked(yshort, [Y[:400]])
+        with pytest.raises(ValueError, match="row-count mismatch"):
+            stats_from_npy(xp, yshort)
+        from pls_tpu.utils.binio import cv_kfold_npy, fold_stats_from_npy
+
+        with pytest.raises(ValueError, match="row-count mismatch"):
+            fold_stats_from_npy(xp, yshort, np.zeros(500, np.int32), 2)
+        with pytest.raises(ValueError, match="row-count mismatch"):
+            cv_kfold_npy(xp, yshort, 3, k=2)
+
+    def test_1d_y_file_streams_as_column(self, files, tmp_path):
+        """A (N,) y .npy — the library-wide M=1 convention — must work
+        on the binary ingest path (streams as (N, 1))."""
+        xp, _, X, Y = files
+        y1 = str(tmp_path / "y1d.npy")
+        np.save(y1, Y[:, 0])  # genuinely 1-D on disk
+        assert npy_shape(y1)[0] == (500,)
+        acc = stats_from_npy(xp, y1)
+        np.testing.assert_allclose(
+            np.asarray(acc.XY)[:, 0], X.T @ Y[:, 0], rtol=2e-5
+        )
+        assert acc.XY.shape == (24, 1)
+
+    def test_direct_without_pool_raises(self, files):
+        xp, _, _, _ = files
+        with pytest.raises(ValueError, match="reuse_buffers"):
+            next(stream_npy(xp, 100, direct=True))
+
+    def test_empty_chunk_iterable_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="empty chunk iterable"):
+            write_npy_chunked(str(tmp_path / "e.npy"), iter([]))
+
+    def test_out_of_range_assignments_raise(self, files):
+        from pls_tpu.utils.binio import fold_stats_from_npy
+
+        xp, yp, _, _ = files
+        bad = np.full(500, 7, np.int32)  # k=2 but labels say fold 7
+        with pytest.raises(ValueError, match=r"\[0, 2\)"):
+            fold_stats_from_npy(xp, yp, bad, 2)
+
+    def test_stats_precision_highest_accepted(self, files):
+        """The stats_precision knob reaches the accumulation (on CPU the
+        result is identical to default; the knob matters on TPU where
+        default f32 matmuls round operands to bf16)."""
+        xp, yp, X, Y = files
+        a0 = stats_from_npy(xp, yp)
+        a1 = stats_from_npy(xp, yp, stats_precision="highest")
+        np.testing.assert_allclose(
+            np.asarray(a0.XX), np.asarray(a1.XX), rtol=1e-6
+        )

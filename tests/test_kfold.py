@@ -4,7 +4,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pls_tpu.cv.kfold import cv_group, cv_kfold, kfold_assignments
+from pls_tpu.cv.kfold import (
+    cv_group,
+    cv_kfold,
+    cv_kfold_downdate,
+    kfold_assignments,
+)
 from pls_tpu.cv.loo import cv_loo
 from pls_tpu.cv.validation import optimal_num_components, validation
 from pls_tpu.models.kernel_pls import fit
@@ -202,3 +207,21 @@ def test_group_cv_matches_manual(toy):
         )
     with pytest.raises(ValueError):
         cv_group(X, Y, np.zeros(N), 2)
+
+
+class TestAssignmentValidation:
+    """Out-of-range fold labels must raise, not silently give rows
+    in-sample errors (masked engine) or drop them from every fold
+    (one-pass engine) — r05 review finding."""
+
+    def test_cv_kfold_rejects_out_of_range(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(40, 6)).astype(np.float32)
+        Y = rng.normal(size=(40, 1)).astype(np.float32)
+        bad = np.arange(40) % 20  # labels for k=20, passed with k=10
+        with pytest.raises(ValueError, match=r"\[0, 10\)"):
+            cv_kfold(X, Y, 3, k=10, assignments=bad)
+        with pytest.raises(ValueError, match=r"\[0, 10\)"):
+            cv_kfold_downdate(X, Y, 3, k=10, assignments=bad)
+        with pytest.raises(ValueError, match=r"\[0, 10\)"):
+            cv_kfold(X, Y, 3, k=10, assignments=bad - 25)  # negative

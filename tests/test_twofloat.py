@@ -260,3 +260,43 @@ class TestDDVectorOps:
         np.testing.assert_allclose(
             np.asarray(h, np.float64) + np.asarray(l, np.float64),
             ref, rtol=1e-12)
+
+
+def test_dd_gram_blocked_matches_f64():
+    """dd_gram (row-blocked exact XᵀX) must match the f64 Gram to pair
+    precision — including when N is not a block multiple (zero-padded
+    tail) and with a tiny block size forcing many scan steps."""
+    from pls_tpu.ops.twofloat import dd_gram
+
+    rng = np.random.default_rng(11)
+    X = (rng.normal(size=(103, 17)) * 10 ** rng.uniform(-2, 2, size=(1, 17))
+         ).astype(np.float32)
+    ref = X.astype(np.float64).T @ X.astype(np.float64)
+    for block in (None, 7, 103, 1000):
+        h, l = dd_gram(jnp.asarray(X), block_rows=block)
+        got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-12, (block, rel)
+
+
+def test_fit_dd_type2_uses_blocked_gram():
+    """fit_dd(type1=False) must agree with the f64 type-2 fit (the old
+    unblocked formulation OOM'd at modest N·K²; correctness of the
+    blocked path is what this pins)."""
+    from pls_tpu.models.kernel_dd import fit_dd
+    from pls_tpu.models.kernel_pls import fit
+    from pls_tpu.models.predict import coefficients
+    from pls_tpu.types import METHOD
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(96, 12)).astype(np.float32)
+    Y = (X @ rng.normal(size=(12, 2)) + 0.05 * rng.normal(size=(96, 2))
+         ).astype(np.float32)
+    f_dd = fit_dd(jnp.asarray(X), jnp.asarray(Y), 4, type1=False)
+    B_dd = np.asarray(coefficients(f_dd), np.float64)
+    # f32 HIGHEST fit as the comparison anchor (f64 needs x64 mode)
+    f_ref = fit(jnp.asarray(X), jnp.asarray(Y), 4,
+                METHOD.KERNEL_TYPE2, precision="highest")
+    B_ref = np.asarray(coefficients(f_ref), np.float64)
+    rel = np.abs(B_dd - B_ref).max() / np.abs(B_ref).max()
+    assert rel < 1e-4, rel
